@@ -1,0 +1,193 @@
+"""Host-side cubic-spline fitting over reference-path waypoints.
+
+The reference's runtime fits ``RosTools::Spline2D`` (a natural cubic ``tk::spline``
+per axis, parameterized by cumulative chord length) from the received reference path
+and uploads the 5 segments around the robot to the solver each cycle
+(mpc_planner_modules/src/contouring.cpp:28-50,96-126). This module provides the same
+capability in numpy: natural cubic fit (tridiagonal solve), closest-point search and
+segment-coefficient export in the ``a(s-s0)^3 + b(s-s0)^2 + c(s-s0) + d`` local form
+expected by :mod:`.ops.spline`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+def natural_cubic_coeffs(t: np.ndarray, y: np.ndarray):
+    """Fit a natural cubic spline y(t) through points; return per-segment (a, b, c, d).
+
+    Segment i covers [t_i, t_{i+1}] with value
+    ``a_i (t-t_i)^3 + b_i (t-t_i)^2 + c_i (t-t_i) + d_i``.
+    """
+    t = np.asarray(t, dtype=float)
+    y = np.asarray(y, dtype=float)
+    n = len(t)
+    if n < 2:
+        raise ValueError("need at least two points")
+    h = np.diff(t)
+    if n == 2:
+        # Linear fallback
+        a = np.zeros(1)
+        b = np.zeros(1)
+        c = np.array([(y[1] - y[0]) / h[0]])
+        d = np.array([y[0]])
+        return a, b, c, d
+
+    # Solve for second derivatives M (natural: M_0 = M_{n-1} = 0)
+    rhs = np.zeros(n)
+    rhs[1:-1] = 6.0 * ((y[2:] - y[1:-1]) / h[1:] - (y[1:-1] - y[:-2]) / h[:-1])
+    diag = np.ones(n)
+    lower = np.zeros(n - 1)
+    upper = np.zeros(n - 1)
+    diag[1:-1] = 2.0 * (h[:-1] + h[1:])
+    lower[:-1] = h[:-1]
+    upper[1:] = h[1:]
+    lower[-1] = 0.0
+    upper[0] = 0.0
+    M = _solve_tridiag(lower, diag, upper, rhs)
+
+    a = (M[1:] - M[:-1]) / (6.0 * h)
+    b = M[:-1] / 2.0
+    c = (y[1:] - y[:-1]) / h - h * (2.0 * M[:-1] + M[1:]) / 6.0
+    d = y[:-1].copy()
+    return a, b, c, d
+
+
+def _solve_tridiag(lower, diag, upper, rhs):
+    """Thomas algorithm. lower[i] multiplies x[i] in row i+1; upper[i] multiplies
+    x[i+1] in row i."""
+    n = len(diag)
+    cp = np.zeros(n - 1)
+    dp = np.zeros(n)
+    cp[0] = upper[0] / diag[0]
+    dp[0] = rhs[0] / diag[0]
+    for i in range(1, n):
+        m = diag[i] - lower[i - 1] * cp[i - 1]
+        if i < n - 1:
+            cp[i] = upper[i] / m
+        dp[i] = (rhs[i] - lower[i - 1] * dp[i - 1]) / m
+    x = np.zeros(n)
+    x[-1] = dp[-1]
+    for i in range(n - 2, -1, -1):
+        x[i] = dp[i] - cp[i] * x[i + 1]
+    return x
+
+
+@dataclass
+class FittedSpline:
+    """One scalar natural cubic spline f(s), s in [starts[0], starts[-1] + last seg]."""
+
+    a: np.ndarray
+    b: np.ndarray
+    c: np.ndarray
+    d: np.ndarray
+    starts: np.ndarray  # (num_segments,) knot positions (segment start s)
+    length: float  # total parameter length
+
+    def eval(self, s):
+        s = np.atleast_1d(np.asarray(s, dtype=float))
+        idx = np.clip(np.searchsorted(self.starts, s, side="right") - 1, 0,
+                      len(self.a) - 1)
+        ds = s - self.starts[idx]
+        return ((self.a[idx] * ds + self.b[idx]) * ds + self.c[idx]) * ds + self.d[idx]
+
+    def deriv(self, s):
+        s = np.atleast_1d(np.asarray(s, dtype=float))
+        idx = np.clip(np.searchsorted(self.starts, s, side="right") - 1, 0,
+                      len(self.a) - 1)
+        ds = s - self.starts[idx]
+        return (3.0 * self.a[idx] * ds + 2.0 * self.b[idx]) * ds + self.c[idx]
+
+
+class CubicSpline2D:
+    """Arc-length-parameterized 2D path spline (host-side analog of RosTools::Spline2D)."""
+
+    def __init__(self, x_points, y_points):
+        x_points = np.asarray(x_points, dtype=float)
+        y_points = np.asarray(y_points, dtype=float)
+        # Remove consecutive duplicates
+        keep = np.ones(len(x_points), dtype=bool)
+        d = np.hypot(np.diff(x_points), np.diff(y_points))
+        keep[1:] = d > 1e-9
+        x_points, y_points = x_points[keep], y_points[keep]
+        s = np.concatenate([[0.0], np.cumsum(np.hypot(np.diff(x_points), np.diff(y_points)))])
+        ax, bx, cx, dx = natural_cubic_coeffs(s, x_points)
+        ay, by, cy, dy = natural_cubic_coeffs(s, y_points)
+        self.s_knots = s
+        self.x = FittedSpline(ax, bx, cx, dx, s[:-1], s[-1])
+        self.y = FittedSpline(ay, by, cy, dy, s[:-1], s[-1])
+
+    @property
+    def length(self) -> float:
+        return float(self.s_knots[-1])
+
+    @property
+    def num_segments(self) -> int:
+        return len(self.x.a)
+
+    def at(self, s):
+        return np.stack([self.x.eval(s), self.y.eval(s)], axis=-1)
+
+    def deriv(self, s):
+        return np.stack([self.x.deriv(s), self.y.deriv(s)], axis=-1)
+
+    def closest_s(self, point: np.ndarray, n_samples: int = 400) -> float:
+        """Closest path parameter to a 2D point: coarse sampling + local refinement
+        (mirrors the reference's closest-segment search, contouring.cpp:52-94)."""
+        s_grid = np.linspace(0.0, self.length, n_samples)
+        pts = self.at(s_grid)
+        d2 = np.sum((pts - point[None, :]) ** 2, axis=1)
+        i = int(np.argmin(d2))
+        lo = s_grid[max(i - 1, 0)]
+        hi = s_grid[min(i + 1, n_samples - 1)]
+        for _ in range(30):  # golden-section-ish bisection refine
+            m1 = lo + (hi - lo) / 3.0
+            m2 = hi - (hi - lo) / 3.0
+            p1, p2 = self.at(np.array([m1, m2]))
+            if np.sum((p1 - point) ** 2) < np.sum((p2 - point) ** 2):
+                hi = m2
+            else:
+                lo = m1
+        return 0.5 * (lo + hi)
+
+    def segment_index(self, s: float) -> int:
+        return int(np.clip(np.searchsorted(self.s_knots, s, side="right") - 1, 0,
+                           self.num_segments - 1))
+
+    def export_segments(self, first_segment: int, num_segments: int):
+        """Coefficient arrays for ``num_segments`` consecutive segments starting at
+        ``first_segment`` (clamped to the path end; last segment repeats if needed),
+        mirroring the per-stage spline-parameter upload (contouring.cpp:96-126).
+
+        Returns dict with keys a_x, b_x, c_x, d_x, a_y, ..., start, each (num_segments,).
+        """
+        idx = np.clip(np.arange(first_segment, first_segment + num_segments), 0,
+                      self.num_segments - 1)
+        return {
+            "a_x": self.x.a[idx], "b_x": self.x.b[idx], "c_x": self.x.c[idx],
+            "d_x": self.x.d[idx],
+            "a_y": self.y.a[idx], "b_y": self.y.b[idx], "c_y": self.y.c[idx],
+            "d_y": self.y.d[idx],
+            "start": self.x.starts[idx],
+        }
+
+
+class CubicSpline1D:
+    """Scalar spline over explicit knots (e.g. velocity or road width vs s)."""
+
+    def __init__(self, s_points, values):
+        s_points = np.asarray(s_points, dtype=float)
+        values = np.asarray(values, dtype=float)
+        a, b, c, d = natural_cubic_coeffs(s_points, values)
+        self.spline = FittedSpline(a, b, c, d, s_points[:-1], s_points[-1])
+        self.s_knots = s_points
+
+    def export_segments(self, first_segment: int, num_segments: int):
+        sp = self.spline
+        idx = np.clip(np.arange(first_segment, first_segment + num_segments), 0,
+                      len(sp.a) - 1)
+        return {"a": sp.a[idx], "b": sp.b[idx], "c": sp.c[idx], "d": sp.d[idx],
+                "start": sp.starts[idx]}
