@@ -1,0 +1,217 @@
+"""SQP-RTI engine: the TPU-native replacement for the generated acados solver.
+
+Reproduces the iteration structure of the reference's acados wrapper
+(mpc_planner_solver/src/acados_solver_interface.cpp:86-204): a fixed number of
+SQP-RTI iterations (``iterations: 10`` in settings.yaml), each linearizing the OCP
+around the current iterate, solving the QP subproblem, and taking a full step
+(acados ``globalization = FIXED_STEP``). The reference stops iterating on a
+wall-clock timeout; on TPU the iteration count is static and chosen to fit the
+control budget - the analogous knob.
+
+Per iteration:
+- cost gradient/Hessian per stage via ``jax.grad`` / ``jax.hessian`` (vmapped over
+  stages); the terminal stage uses the terminal cost on x only, u-block padded;
+- Hessian regularization following acados ``regularize_method = MIRROR``
+  (generate_acados_solver.py:157): eigenvalues are mirrored to |lambda| and floored;
+- dynamics Jacobians A, B via ``jacfwd``; defects c_k = F(z_k) - x_{k+1};
+- inequality rows built statically from the OCP's finite-bound row spec with acados
+  stage conventions (h at 0..N-1, u-box at 0..N-1, x-box at 1..N-1, stage N free);
+- QP solved by :func:`.qp.solve_qp` (Riccati interior point).
+
+Failure semantics mirror completeOneIteration (acados_solver_interface.cpp:176-204):
+success iff the final equality residual <= 1e-2 and everything is finite; exit codes
+use the reference's forces-style mapping (1 = success, 0 = failure).
+
+Everything is a pure jittable function of (params, xinit, z_init); batching over
+planners/scenarios/robots is a plain ``vmap``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .qp import QPData, solve_qp
+
+
+class SQPConfig(NamedTuple):
+    n_sqp: int = 10
+    n_qp_iter: int = 15
+    mu_min: float = 1e-9
+    reg_eps: float = 1e-6
+    w_max: float = 1e14
+    regularization: str = "mirror"  # "mirror" | "levenberg" | "none"
+    levenberg: float = 1e-3
+    res_eq_tol: float = 1e-2  # failure promotion threshold (acados wrapper :176-182)
+
+
+class SQPResult(NamedTuple):
+    z: jnp.ndarray  # (N+1, nvar) primal trajectory (u_k, x_k); u_N is zero padding
+    cost: jnp.ndarray  # objective at the final iterate
+    eq_res: jnp.ndarray  # max dynamics defect (infeasibility measure)
+    qp_comp: jnp.ndarray  # last QP complementarity
+    success: jnp.ndarray  # bool
+    exit_code: jnp.ndarray  # 1 = success, 0 = failure (reference mapping)
+
+
+def _mirror_regularize(H, eps):
+    """acados MIRROR: project the symmetric Hessian to V |diag| V^T with floor eps."""
+    w, V = jnp.linalg.eigh(H)
+    w = jnp.maximum(jnp.abs(w), eps)
+    return jnp.einsum("...ij,...j,...kj->...ik", V, w, V)
+
+
+def make_sqp_solver(ocp, config: SQPConfig = SQPConfig(), dtype=jnp.float32):
+    """Build the jitted solve function for an assembled OCP.
+
+    Returns ``solve(all_params (N, npar), xinit (nx,), z_init (N+1, nvar))`` - the
+    analog of generating + compiling an acados solver. The returned function is a
+    pure JAX function: wrap in ``jax.vmap`` for the planner batch axes and in
+    ``jax.jit`` (done here) for compilation.
+    """
+    N, nu, nx, nvar, nh = ocp.N, ocp.nu, ocp.nx, ocp.nvar, ocp.nh
+    row_spec = ocp.ineq_row_spec()
+    m = len(row_spec)
+
+    lh = jnp.asarray(ocp.lh, dtype)
+    uh = jnp.asarray(ocp.uh, dtype)
+    lbz = jnp.asarray(ocp.lbz, dtype)
+    ubz = jnp.asarray(ocp.ubz, dtype)
+
+    # Static row metadata
+    kinds = [k for k, _ in row_spec]
+    idxs = np.array([i for _, i in row_spec])
+    is_hl = np.array([k == "hl" for k in kinds])
+    is_hu = np.array([k == "hu" for k in kinds])
+    is_zl = np.array([k == "zl" for k in kinds])
+    is_zu = np.array([k == "zu" for k in kinds])
+    is_xbox = np.array([
+        k in ("zl", "zu") and i >= nu for (k, i) in row_spec])
+    # Per-stage row activity masks (acados conventions)
+    stage_mask = np.ones((N + 1, m))
+    stage_mask[N, :] = 0.0  # terminal stage: unconstrained
+    stage_mask[0, is_xbox] = 0.0  # x fixed at stage 0
+    row_mask = jnp.asarray(stage_mask, dtype)
+
+    hl_rows = np.nonzero(is_hl)[0]
+    hu_rows = np.nonzero(is_hu)[0]
+    zl_rows = np.nonzero(is_zl)[0]
+    zu_rows = np.nonzero(is_zu)[0]
+    hl_idx = idxs[is_hl]
+    hu_idx = idxs[is_hu]
+    zl_idx = idxs[is_zl]
+    zu_idx = idxs[is_zu]
+
+    def build_rows(z_k, p_k):
+        """D_k (m, nvar), e_k (m,) from the current iterate (one stage)."""
+        if nh > 0:
+            h = ocp.ineq(z_k, p_k)
+            C = jax.jacfwd(ocp.ineq)(z_k, p_k)
+        else:
+            h = jnp.zeros((0,), dtype)
+            C = jnp.zeros((0, nvar), dtype)
+        D = jnp.zeros((m, nvar), dtype)
+        e = jnp.zeros((m,), dtype)
+        if len(hl_rows):
+            D = D.at[np.asarray(hl_rows)].set(C[hl_idx])
+            e = e.at[np.asarray(hl_rows)].set(h[hl_idx] - lh[hl_idx])
+        if len(hu_rows):
+            D = D.at[np.asarray(hu_rows)].set(-C[hu_idx])
+            e = e.at[np.asarray(hu_rows)].set(uh[hu_idx] - h[hu_idx])
+        if len(zl_rows):
+            D = D.at[np.asarray(zl_rows), np.asarray(zl_idx)].set(1.0)
+            e = e.at[np.asarray(zl_rows)].set(z_k[zl_idx] - lbz[zl_idx])
+        if len(zu_rows):
+            D = D.at[np.asarray(zu_rows), np.asarray(zu_idx)].set(-1.0)
+            e = e.at[np.asarray(zu_rows)].set(ubz[zu_idx] - z_k[zu_idx])
+        return D, e
+
+    def stage_cost_grad_hess(z_k, p_k):
+        g = jax.grad(ocp.cost_stage)(z_k, p_k)
+        H = jax.hessian(ocp.cost_stage)(z_k, p_k)
+        return g, H
+
+    def terminal_cost_grad_hess(x_N, p_N):
+        g = jax.grad(ocp.cost_terminal)(x_N, p_N)
+        H = jax.hessian(ocp.cost_terminal)(x_N, p_N)
+        return g, H
+
+    def dyn_lin(z_k, p_k):
+        x, u = z_k[nu:], z_k[:nu]
+        f = ocp.dynamics(x, u, p_k)
+        Jx = jax.jacfwd(lambda xx: ocp.dynamics(xx, u, p_k))(x)
+        Ju = jax.jacfwd(lambda uu: ocp.dynamics(x, uu, p_k))(u)
+        return f, Jx, Ju
+
+    def total_cost(Z, P):
+        stage = jax.vmap(ocp.cost_stage)(Z[:-1], P[:-1])
+        return jnp.sum(stage) + ocp.cost_terminal(Z[-1, nu:], P[-1])
+
+    def sqp_iteration(Z, P, xinit):
+        # Cost quadratics, stages 0..N-1
+        g_s, H_s = jax.vmap(stage_cost_grad_hess)(Z[:-1], P[:-1])
+        g_T, H_T = terminal_cost_grad_hess(Z[-1, nu:], P[-1])
+        g_term = jnp.concatenate([jnp.zeros((nu,), dtype), g_T])
+        H_term = jnp.zeros((nvar, nvar), dtype)
+        H_term = H_term.at[nu:, nu:].set(H_T)
+        H_term = H_term.at[:nu, :nu].set(jnp.eye(nu, dtype=dtype))
+        H = jnp.concatenate([H_s, H_term[None]], axis=0)
+        g = jnp.concatenate([g_s, g_term[None]], axis=0)
+
+        if config.regularization == "mirror":
+            # Mirror only the true stages; terminal block is mirrored on x alone
+            H_body = _mirror_regularize(H[:-1], config.reg_eps)
+            H_xx_T = _mirror_regularize(H[-1, nu:, nu:], config.reg_eps)
+            H_last = H[-1].at[nu:, nu:].set(H_xx_T)
+            H = jnp.concatenate([H_body, H_last[None]], axis=0)
+        elif config.regularization == "levenberg":
+            H = H + config.levenberg * jnp.eye(nvar, dtype=dtype)
+
+        # Dynamics linearization
+        f, A, B = jax.vmap(dyn_lin)(Z[:-1], P[:-1])
+        c = f - Z[1:, nu:]
+
+        # Inequality rows
+        D, e = jax.vmap(build_rows)(Z, P)
+
+        qp = QPData(H=H, g=g, A=A, B=B, c=c, D=D, e=e, row_mask=row_mask,
+                    r0=xinit - Z[0, nu:])
+        sol = solve_qp(qp, nu=nu, n_iters=config.n_qp_iter, mu_min=config.mu_min,
+                       w_max=config.w_max)
+        Z_new = Z + sol.z
+        return Z_new, sol
+
+    @jax.jit
+    def solve(all_params, xinit, z_init):
+        """all_params: (N, npar); xinit: (nx,); z_init: (N+1, nvar) warmstart."""
+        P = jnp.concatenate(
+            [all_params, all_params[-1:]], axis=0).astype(dtype)  # stage N reuses N-1
+        Z0 = z_init.astype(dtype)
+        xinit = xinit.astype(dtype)
+
+        def body(Z, _):
+            Z_new, sol = sqp_iteration(Z, P, xinit)
+            # Guard: a NaN step (failed QP) keeps the previous iterate
+            bad = jnp.any(jnp.isnan(Z_new))
+            Z_new = jnp.where(bad, Z, Z_new)
+            return Z_new, (sol.comp, sol.eq_res)
+
+        Z, (comps, eqs) = jax.lax.scan(body, Z0, None, length=config.n_sqp)
+
+        # Final residuals at the converged iterate
+        f, _, _ = jax.vmap(dyn_lin)(Z[:-1], P[:-1])
+        defect = f - Z[1:, nu:]
+        eq_res = jnp.max(jnp.abs(defect))
+        cost = total_cost(Z, P)
+        finite = jnp.isfinite(cost) & jnp.all(jnp.isfinite(Z))
+        success = (eq_res <= config.res_eq_tol) & finite
+        exit_code = jnp.where(success, 1, 0)
+        return SQPResult(z=Z, cost=cost, eq_res=eq_res, qp_comp=comps[-1],
+                         success=success, exit_code=exit_code)
+
+    return solve

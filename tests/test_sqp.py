@@ -1,0 +1,159 @@
+"""SQP engine parity: BASELINE config 1 (goal-tracking + ellipsoidal obstacles).
+
+The acados reference cannot run here (no casadi/acados in the image), so parity is
+checked against an independent optimizer (scipy SLSQP, single-shooting on the SAME
+cost/constraint/dynamics functions) - this validates the solver, while module math
+is validated separately against hand-computed values (test_modules.py). BASELINE.md
+gate: control-sequence error <= 1e-3 at N=20.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from oscar_mpc_planner_mr_modification_tpu.utils import default_settings
+from oscar_mpc_planner_mr_modification_tpu.models import SecondOrderUnicycleModel
+from oscar_mpc_planner_mr_modification_tpu.modules import (
+    ModuleManager, MPCBaseModule, GoalModule, EllipsoidConstraintModule)
+from oscar_mpc_planner_mr_modification_tpu.solver import build_ocp
+from oscar_mpc_planner_mr_modification_tpu.ops.sqp import make_sqp_solver, SQPConfig
+
+
+def goal_tracking_setup(N=20, n_obstacles=3):
+    settings = default_settings(N=N, max_obstacles=n_obstacles)
+    model = SecondOrderUnicycleModel()
+    mm = ModuleManager()
+    base = mm.add_module(MPCBaseModule(settings))
+    base.weigh_variable("a", "acceleration")
+    base.weigh_variable("w", "angular_velocity")
+    mm.add_module(GoalModule(settings))
+    mm.add_module(EllipsoidConstraintModule(settings))
+    ocp = build_ocp(model, mm, settings)
+
+    idx = ocp.registry.save_map()
+    P = np.zeros((N, ocp.npar))
+    P[:, idx["acceleration"]] = 0.34
+    P[:, idx["angular_velocity"]] = 0.85
+    P[:, idx["goal_weight"]] = 1.0
+    P[:, idx["goal_x"]] = 5.0
+    P[:, idx["goal_y"]] = 1.5
+    P[:, idx["ego_disc_radius"]] = 0.325
+    P[:, idx["ego_disc_0_offset"]] = 0.0
+    obstacles = [(2.0, 0.4), (3.5, 1.2), (4.5, 0.2)][:n_obstacles]
+    for i, (ox, oy) in enumerate(obstacles):
+        P[:, idx[f"ellipsoid_obst_{i}_x"]] = ox
+        P[:, idx[f"ellipsoid_obst_{i}_y"]] = oy
+        P[:, idx[f"ellipsoid_obst_{i}_psi"]] = 0.0
+        P[:, idx[f"ellipsoid_obst_{i}_major"]] = 0.0
+        P[:, idx[f"ellipsoid_obst_{i}_minor"]] = 0.0
+        P[:, idx[f"ellipsoid_obst_{i}_chi"]] = 1.0
+        P[:, idx[f"ellipsoid_obst_{i}_r"]] = 0.3
+
+    x0 = np.array([0.0, 0.0, 0.0, 0.5])
+    z_init = np.zeros((N + 1, ocp.nvar))
+    z_init[:, ocp.nu :] = x0  # initializeWithState-style warmstart
+    return ocp, P, x0, z_init
+
+
+def scipy_single_shooting(ocp, P, x0, N):
+    """Independent reference: SLSQP over the control sequence, exact rollout."""
+    from scipy.optimize import minimize
+
+    nu, nx = ocp.nu, ocp.nx
+    Pj = jnp.asarray(np.concatenate([P, P[-1:]], axis=0))
+
+    def rollout(U):
+        def step(x, inp):
+            u, p = inp
+            xn = ocp.dynamics(x, u, p)
+            return xn, xn
+        _, X = jax.lax.scan(step, jnp.asarray(x0), (U, Pj[:-1]))
+        return jnp.concatenate([jnp.asarray(x0)[None], X], axis=0)  # (N+1, nx)
+
+    def objective(Uf):
+        U = Uf.reshape(N, nu)
+        X = rollout(U)
+        Z = jnp.concatenate([U, X[:-1]], axis=1)
+        stage = jax.vmap(ocp.cost_stage)(Z, Pj[:-1])
+        return jnp.sum(stage) + ocp.cost_terminal(X[-1], Pj[-1])
+
+    def ineq_all(Uf):
+        """All inequality values >= 0: h-lh at k=0..N-1 plus x bounds at 1..N-1."""
+        U = Uf.reshape(N, nu)
+        X = rollout(U)
+        Z = jnp.concatenate([U, X[:-1]], axis=1)
+        h = jax.vmap(ocp.ineq)(Z, Pj[:-1])  # (N, nh)
+        vals = [ (h - jnp.asarray(ocp.lh)[None, :]).ravel() ]
+        xb = X[1:-1]  # stages 1..N-1
+        vals.append((xb - jnp.asarray(ocp.lbz)[None, ocp.nu:]).ravel())
+        vals.append((jnp.asarray(ocp.ubz)[None, ocp.nu:] - xb).ravel())
+        return jnp.concatenate(vals)
+
+    obj_j = jax.jit(objective)
+    grad_j = jax.jit(jax.grad(objective))
+    ineq_j = jax.jit(ineq_all)
+    jac_j = jax.jit(jax.jacrev(ineq_all))
+
+    bounds = [(ocp.lbz[i], ocp.ubz[i]) for i in range(nu)] * N
+    res = minimize(
+        lambda v: float(obj_j(v)), np.zeros(N * nu),
+        jac=lambda v: np.asarray(grad_j(v)),
+        method="SLSQP", bounds=bounds,
+        constraints=[{"type": "ineq", "fun": lambda v: np.asarray(ineq_j(v)),
+                      "jac": lambda v: np.asarray(jac_j(v))}],
+        options={"maxiter": 400, "ftol": 1e-12},
+    )
+    assert res.success, res.message
+    return res.x.reshape(N, nu), float(res.fun)
+
+
+def test_goal_tracking_with_obstacles_matches_independent_solver():
+    N = 20
+    ocp, P, x0, z_init = goal_tracking_setup(N=N)
+    cfg = SQPConfig(n_sqp=25, n_qp_iter=20, mu_min=1e-10)
+    solve = make_sqp_solver(ocp, cfg, dtype=jnp.float64)
+    result = solve(jnp.asarray(P), jnp.asarray(x0), jnp.asarray(z_init))
+
+    assert bool(result.success)
+    assert float(result.eq_res) < 1e-8
+
+    U_ref, cost_ref = scipy_single_shooting(ocp, P, x0, N)
+    U = np.asarray(result.z[:-1, : ocp.nu])
+
+    # BASELINE gate: control sequence within 1e-3 of the independent solution
+    assert np.max(np.abs(U - U_ref)) < 1e-3, (
+        f"control error {np.max(np.abs(U - U_ref)):.2e}\n{U[:5]}\nvs\n{U_ref[:5]}")
+    assert abs(float(result.cost) - cost_ref) < 1e-5 * max(1.0, abs(cost_ref))
+
+
+def test_solver_respects_obstacle_constraints():
+    N = 20
+    ocp, P, x0, z_init = goal_tracking_setup(N=N)
+    solve = make_sqp_solver(ocp, SQPConfig(n_sqp=15), dtype=jnp.float64)
+    result = solve(jnp.asarray(P), jnp.asarray(x0), jnp.asarray(z_init))
+    Z = np.asarray(result.z)
+    Pj = np.concatenate([P, P[-1:]], axis=0)
+    h = np.stack([np.asarray(ocp.ineq(jnp.asarray(Z[k]), jnp.asarray(Pj[k])))
+                  for k in range(N)])
+    assert h.min() > 1.0 - 1e-6  # ellipsoid constraint lower bound
+
+    # The straight line to the goal passes through obstacles; verify the plan moves
+    # and ends near the goal
+    assert np.asarray(result.z)[-1, ocp.nu] > 3.0  # made progress in x
+
+
+def test_infeasible_start_recovers():
+    """Start inside an obstacle: the solver should still return finite output and
+    report via exit code (graceful degradation, reference braking fallback)."""
+    N = 20
+    ocp, P, x0, z_init = goal_tracking_setup(N=N)
+    P2 = P.copy()
+    idx = ocp.registry.save_map()
+    P2[:, idx["ellipsoid_obst_0_x"]] = 0.0  # obstacle on top of the robot
+    P2[:, idx["ellipsoid_obst_0_y"]] = 0.0
+    solve = make_sqp_solver(ocp, SQPConfig(n_sqp=10), dtype=jnp.float64)
+    result = solve(jnp.asarray(P2), jnp.asarray(x0), jnp.asarray(z_init))
+    assert np.all(np.isfinite(np.asarray(result.z)))
+    assert int(result.exit_code) in (0, 1)
