@@ -150,11 +150,13 @@ def solve_qp(qp: QPData, nu: int, n_iters: int = 15, mu_min: float = 1e-9,
     mask = qp.row_mask.astype(dtype)
     big = jnp.asarray(1e30, dtype)
 
-    # HPIPM-style centered start: s = lam = sqrt(mu0) on active rows. Infeasible
-    # w.r.t. s = Dz + e is fine - the Newton step carries the full residuals.
+    # Centered start respecting the constraint scale: s0 = max(e, sqrt(mu0)) keeps
+    # already-satisfied rows (including the huge dummy-obstacle values, e ~ 1e4)
+    # at zero inequality residual, while violated/tight rows start at sqrt(mu0);
+    # lam0 = mu0/s0 makes every row's complementarity exactly mu0 (centered).
     v0 = jnp.asarray(jnp.sqrt(mu0), dtype)
-    s0 = jnp.where(mask > 0, v0, 1.0)
-    lam0 = jnp.where(mask > 0, v0, 0.0)
+    s0 = jnp.where(mask > 0, jnp.maximum(qp.e, v0), 1.0)
+    lam0 = jnp.where(mask > 0, mu0 / s0, 0.0)
     z0 = jnp.zeros((T, nz), dtype=dtype)
     n_active = jnp.maximum(jnp.sum(mask), 1.0)
 

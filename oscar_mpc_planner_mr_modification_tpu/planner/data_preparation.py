@@ -1,0 +1,135 @@
+"""Obstacle/robot data preparation for one control cycle.
+
+Mirrors mpc_planner/src/data_preparation.cpp:18-237: robot disc decomposition,
+dummy obstacles at +100 m, constant-velocity predictions, closest-N obstacle
+selection with linear time scaling, Gaussian uncertainty propagation, and the
+fork's robot-trajectory-obstacle merge.
+"""
+
+from __future__ import annotations
+
+from typing import List, Set
+
+import numpy as np
+
+from ..types import (Disc, DynamicObstacle, Prediction, PredictionStep,
+                     PredictionType)
+
+
+def define_robot_area(length: float, width: float, n_discs: int) -> List[Disc]:
+    """Disc decomposition of the robot footprint (data_preparation.cpp:18-49)."""
+    center_offset = length / 2.0
+    radius = width / 2.0
+    assert n_discs > 0, "Trying to create a collision region with less than a disc"
+    if n_discs == 1:
+        return [Disc(0.0, radius)]
+    area = []
+    for i in range(n_discs):
+        if i == 0:
+            area.append(Disc(-center_offset + radius, radius))
+        elif i == n_discs - 1:
+            area.append(Disc(-center_offset + length - radius, radius))
+        else:
+            area.append(Disc(
+                -center_offset + radius + i * (length - 2.0 * radius) / (n_discs - 1),
+                radius))
+    return area
+
+
+def get_dummy_obstacle(state) -> DynamicObstacle:
+    """Far-away dummy obstacle (data_preparation.cpp:51-58)."""
+    return DynamicObstacle(
+        index=-1,
+        position=np.array([state.get("x") + 100.0, state.get("y") + 100.0]),
+        angle=0.0, radius=0.0)
+
+
+def get_constant_velocity_prediction(position, velocity, dt: float, steps: int,
+                                     probabilistic: bool = False) -> Prediction:
+    """data_preparation.cpp:60-82."""
+    noise = 0.3 if probabilistic else 0.0
+    pred = Prediction(
+        PredictionType.GAUSSIAN if probabilistic else PredictionType.DETERMINISTIC,
+        modes=[[]], probabilities=[1.0])
+    position = np.asarray(position, dtype=float)
+    velocity = np.asarray(velocity, dtype=float)
+    for i in range(steps):
+        pred.modes[0].append(
+            PredictionStep(position + velocity * dt * i, 0.0, noise, noise))
+    if probabilistic:
+        propagate_prediction_uncertainty(pred, dt, steps)
+    return pred
+
+
+def remove_distant_obstacles(obstacles: List[DynamicObstacle], state,
+                             max_distance: float) -> List[DynamicObstacle]:
+    """data_preparation.cpp:84-97."""
+    pos = state.get_position()
+    return [o for o in obstacles if np.linalg.norm(pos - o.position) < max_distance]
+
+
+def ensure_obstacle_size(obstacles: List[DynamicObstacle], state, max_obstacles: int,
+                         N: int, dt: float, probabilistic: bool = False
+                         ) -> List[DynamicObstacle]:
+    """Keep the closest ``max_obstacles`` (linearly time-scaled distance over the
+    horizon) or pad with dummies (data_preparation.cpp:97-173)."""
+    if len(obstacles) > max_obstacles:
+        pos = state.get_position()
+        psi = state.get("psi")
+        v = state.get("v")
+        direction = np.array([np.cos(psi), np.sin(psi)])
+        distances = []
+        for obs in obstacles:
+            min_dist = 1e5
+            for k in range(min(N, len(obs.prediction.modes[0]))):
+                dist = (k + 1) * 0.6 * np.linalg.norm(
+                    obs.prediction.modes[0][k].position - (pos + v * k * direction))
+                min_dist = min(min_dist, dist)
+            distances.append(min_dist)
+        order = np.argsort(distances)[:max_obstacles]
+        obstacles = [obstacles[i] for i in order]
+        for i, obs in enumerate(obstacles):
+            obs.index = i
+    elif len(obstacles) < max_obstacles:
+        obstacles = list(obstacles)
+        while len(obstacles) < max_obstacles:
+            dummy = get_dummy_obstacle(state)
+            dummy.prediction = get_constant_velocity_prediction(
+                dummy.position, np.zeros(2), dt, N, probabilistic)
+            obstacles.append(dummy)
+    return obstacles
+
+
+def propagate_prediction_uncertainty(prediction: Prediction, dt: float, N: int
+                                     ) -> None:
+    """sigma_k = sqrt(sigma_{k-1}^2 + (sigma*dt)^2) (data_preparation.cpp:175-191)."""
+    if prediction.type != PredictionType.GAUSSIAN:
+        return
+    major = minor = 0.0
+    for k in range(min(N, len(prediction.modes[0]))):
+        step = prediction.modes[0][k]
+        major = np.sqrt(major**2 + (step.major_radius * dt) ** 2)
+        minor = np.sqrt(minor**2 + (step.minor_radius * dt) ** 2)
+        step.major_radius = major
+        step.minor_radius = minor
+
+
+def propagate_all_uncertainty(obstacles: List[DynamicObstacle], dt: float, N: int
+                              ) -> None:
+    for obs in obstacles:
+        propagate_prediction_uncertainty(obs.prediction, dt, N)
+
+
+def update_robot_obstacles_from_trajectories(
+        data, validated_trajectory_robots: Set[str], ego_ns: str) -> None:
+    """Merge peer-robot trajectory obstacles into dynamic_obstacles
+    (data_preparation.cpp:202-237)."""
+    for ns, traj_obs in getattr(data, "trajectory_dynamic_obstacles", {}).items():
+        if ns not in validated_trajectory_robots:
+            continue
+        for i, obs in enumerate(data.dynamic_obstacles):
+            if obs.index == traj_obs.index:
+                data.dynamic_obstacles[i] = traj_obs
+                break
+        else:
+            data.dynamic_obstacles.append(traj_obs)

@@ -258,6 +258,9 @@ class ModuleData:
     selected_topology_id: int = -1
     selected_planner_index: int = -1
     selected_was_non_guided: bool = False
+    used_guidance: bool = False
+    trajectory_cost: float = 0.0
+    num_of_guidance_found: int = 0
     topology_changed: bool = False
     non_guided_homology_failed: bool = False
     solver_state: SolverState = SolverState.SOLVED_NO_HOMOLOGY_ID
@@ -268,7 +271,8 @@ class ModuleData:
 
 @dataclass
 class PlannerOutput:
-    """Result of one solveMPC call (planner.h:33-43)."""
+    """Result of one solveMPC call (planner.h:33-43 + fork metadata fields,
+    planner.cpp:213-224)."""
 
     trajectory: Trajectory = field(default_factory=Trajectory)
     success: bool = False
@@ -276,5 +280,11 @@ class PlannerOutput:
     objective: float = 0.0
     # Fork metadata for communication triggers
     selected_topology_id: int = -1
+    selected_planner_index: int = -1
+    previous_topology_id: int = -1
+    used_guidance: bool = False
     topology_changed: bool = False
     was_infeasible: bool = False
+    trajectory_cost: float = 0.0
+    num_of_guidance_found: int = 0
+    non_guided_homology_failed: bool = False

@@ -1,0 +1,174 @@
+"""Closed-loop planner test: the minimum end-to-end slice (SURVEY §7.3).
+
+Goal-tracking Jackal with ellipsoidal obstacles in a toy 20 Hz simulation loop:
+Planner.solve_mpc orchestration (warmstart policies, module updates, parameter
+fill, solve, output extraction), obstacle data preparation, and goal reaching.
+"""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from oscar_mpc_planner_mr_modification_tpu.utils import default_settings
+from oscar_mpc_planner_mr_modification_tpu.models import SecondOrderUnicycleModel
+from oscar_mpc_planner_mr_modification_tpu.modules import (
+    ModuleManager, MPCBaseModule, GoalModule, EllipsoidConstraintModule)
+from oscar_mpc_planner_mr_modification_tpu.solver import build_ocp, Solver, State
+from oscar_mpc_planner_mr_modification_tpu.planner import Planner
+from oscar_mpc_planner_mr_modification_tpu.planner.data_preparation import (
+    define_robot_area, ensure_obstacle_size, get_constant_velocity_prediction)
+from oscar_mpc_planner_mr_modification_tpu.types import (
+    RealTimeData, DynamicObstacle)
+from oscar_mpc_planner_mr_modification_tpu.ops.sqp import SQPConfig
+
+
+def make_planner(N=20, max_obstacles=3):
+    # goal weight raised: the reference's normalized goal cost (goal_module.py:34)
+    # is weak for a 5 m goal; 5.0 gives a crisp approach within the test horizon
+    settings = default_settings(N=N, max_obstacles=max_obstacles,
+                                weights={"goal": 5.0})
+    model = SecondOrderUnicycleModel()
+    mm = ModuleManager()
+    base = mm.add_module(MPCBaseModule(settings))
+    base.weigh_variable("a", "acceleration")
+    base.weigh_variable("w", "angular_velocity")
+    mm.add_module(GoalModule(settings))
+    mm.add_module(EllipsoidConstraintModule(settings))
+    ocp = build_ocp(model, mm, settings)
+    solver = Solver(ocp, settings, dtype=jnp.float64,
+                    sqp_config=SQPConfig(n_sqp=8, n_qp_iter=15))
+    planner = Planner(solver, mm, settings)
+    return planner, model, settings
+
+
+def make_data(settings, state, obstacle_specs, N, dt):
+    data = RealTimeData()
+    data.robot_area = define_robot_area(
+        settings["robot"]["length"], settings["robot"]["width"],
+        settings["n_discs"])
+    data.goal = np.array([5.0, 0.5])
+    data.goal_received = True
+    obstacles = []
+    for i, (pos, vel) in enumerate(obstacle_specs):
+        obs = DynamicObstacle(index=i, position=np.asarray(pos, dtype=float),
+                              radius=0.3)
+        obs.prediction = get_constant_velocity_prediction(pos, vel, dt, N)
+        obstacles.append(obs)
+    data.dynamic_obstacles = ensure_obstacle_size(
+        obstacles, state, settings["max_obstacles"], N, dt)
+    return data
+
+
+def test_data_ready_gate():
+    planner, model, settings = make_planner()
+    state = State(model)
+    state.set("v", 0.1)
+    data = RealTimeData()  # no goal, no obstacles
+    out = planner.solve_mpc(state, data)
+    assert not out.success
+
+
+def test_closed_loop_reaches_goal():
+    N, dt = 20, 0.2
+    planner, model, settings = make_planner(N=N)
+    state = State(model)
+    state.set("x", 0.0)
+    state.set("v", 0.3)
+
+    obstacle_specs = [(np.array([2.5, 0.1]), np.zeros(2))]
+    reached = False
+    n_success = 0
+    for step in range(60):
+        data = make_data(settings, state, obstacle_specs, N, dt)
+        out = planner.solve_mpc(state, data)
+        if out.success:
+            n_success += 1
+            a = planner.get_solution(0, "a")
+            w = planner.get_solution(0, "w")
+        else:
+            a, w = -settings["deceleration_at_infeasible"], 0.0
+        # Simulate the robot with the model dynamics
+        x = jnp.asarray(state.as_array())
+        u = jnp.asarray([a, w])
+        x_next = model.discrete_dynamics(x, u, dt)
+        state.set_array(np.asarray(x_next))
+        if np.linalg.norm(state.get_position() - data.goal) < 0.4:
+            reached = True
+            break
+
+    assert n_success > 10, "planner should solve most cycles"
+    assert reached, f"did not reach goal; final state {state}"
+    # Check the robot avoided the obstacle throughout (static obstacle)
+    # (closed-loop check happens implicitly: crash would keep distance ~0)
+
+
+def test_closed_loop_avoids_obstacle():
+    N, dt = 20, 0.2
+    planner, model, settings = make_planner(N=N)
+    state = State(model)
+    state.set("v", 0.5)
+    # Obstacle directly on the straight-line path to the goal
+    obstacle_specs = [(np.array([2.5, 0.25]), np.zeros(2))]
+    min_dist = np.inf
+    for step in range(60):
+        data = make_data(settings, state, obstacle_specs, N, dt)
+        out = planner.solve_mpc(state, data)
+        a = planner.get_solution(0, "a") if out.success else -3.0
+        w = planner.get_solution(0, "w") if out.success else 0.0
+        x_next = model.discrete_dynamics(
+            jnp.asarray(state.as_array()), jnp.asarray([a, w]), dt)
+        state.set_array(np.asarray(x_next))
+        min_dist = min(min_dist,
+                       np.linalg.norm(state.get_position() - obstacle_specs[0][0]))
+        if np.linalg.norm(state.get_position() - data.goal) < 0.4:
+            break
+    # combined radius = 0.3 (obstacle) + 0.325 (robot); some margin
+    assert min_dist > 0.55, f"got too close: {min_dist:.3f} m"
+
+
+def test_braking_warmstart_after_failure():
+    planner, model, settings = make_planner()
+    state = State(model)
+    state.set("x", 1.0)
+    state.set("v", 1.5)
+    # First cycle fails (no data) -> next cycle uses braking init
+    planner.output.success = False
+    planner.solver.initialize_with_braking(state)
+    v_vals = [planner.solver.get_ego_prediction(k, "v") for k in range(21)]
+    assert v_vals[0] == 1.5
+    assert all(v_vals[i + 1] <= v_vals[i] + 1e-12 for i in range(20))
+    assert v_vals[-1] == 0.0  # fully braked
+    x_vals = [planner.solver.get_ego_prediction(k, "x") for k in range(21)]
+    assert x_vals[-1] > 1.0  # moved forward while braking
+
+
+def test_solver_clone_independent():
+    planner, model, settings = make_planner()
+    s1 = planner.solver
+    s1.params.set("goal_x", 3.0)
+    s2 = s1.clone()
+    s2.params.set("goal_x", 7.0)
+    assert s1.get_parameter(0, "goal_x") == 3.0
+    assert s2.get_parameter(0, "goal_x") == 7.0
+
+
+def test_ensure_obstacle_size_pads_and_prunes():
+    settings = default_settings(max_obstacles=2)
+    model = SecondOrderUnicycleModel()
+    state = State(model)
+    state.set("v", 1.0)
+    # Too many obstacles: keeps the 2 closest over the horizon
+    specs = [([10.0, 10.0], [0.0, 0.0]), ([1.0, 0.0], [0.0, 0.0]),
+             ([2.0, 0.0], [0.0, 0.0])]
+    obstacles = []
+    for i, (pos, vel) in enumerate(specs):
+        o = DynamicObstacle(index=i, position=np.asarray(pos, dtype=float))
+        o.prediction = get_constant_velocity_prediction(pos, vel, 0.2, 20)
+        obstacles.append(o)
+    kept = ensure_obstacle_size(obstacles, state, 2, 20, 0.2)
+    assert len(kept) == 2
+    assert all(np.linalg.norm(o.position) < 5 for o in kept)
+    # Too few: pads with dummies 100m away
+    kept2 = ensure_obstacle_size(kept[:1], state, 3, 20, 0.2)
+    assert len(kept2) == 3
+    assert np.linalg.norm(kept2[-1].position) > 100
