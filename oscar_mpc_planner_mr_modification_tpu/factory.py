@@ -1,0 +1,135 @@
+"""Planner configurations: the analog of the per-system solver-definition scripts.
+
+Mirrors mpc_planner_jackalsimulator/scripts/generate_jackalsimulator_solver.py:37-155:
+each ``configuration_*`` assembles a (model, modules) pair; ``build_planner`` then
+"generates the solver" (builds + jit-compiles the OCP) and wires the runtime
+(Solver, Planner, T-MPC/scenario optimizers).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from .models import (ContouringSecondOrderUnicycleModel,
+                     ContouringSecondOrderUnicycleModelWithSlack,
+                     SecondOrderUnicycleModel)
+from .modules import (ConsistencyModule, ContouringModule,
+                      EllipsoidConstraintModule, GoalModule,
+                      GuidanceConstraintModule, MPCBaseModule, ModuleManager,
+                      PathReferenceVelocityModule, ScenarioConstraintModule)
+from .ops.sqp import SQPConfig
+from .planner import Planner
+from .solver import Solver, build_ocp
+
+
+def configuration_no_obstacles(settings):
+    """scripts/generate_jackalsimulator_solver.py:37-59."""
+    modules = ModuleManager()
+    model = ContouringSecondOrderUnicycleModel()
+
+    base_module = modules.add_module(MPCBaseModule(settings))
+    base_module.weigh_variable("a", "acceleration")
+    base_module.weigh_variable("w", "angular_velocity")
+    if not settings["contouring"]["dynamic_velocity_reference"]:
+        base_module.weigh_variable(
+            "v", ["velocity", "reference_velocity"],
+            cost_function=lambda x, w: w[0] * (x - w[1]) ** 2)
+
+    modules.add_module(ContouringModule(settings))
+    if settings["contouring"]["dynamic_velocity_reference"]:
+        modules.add_module(PathReferenceVelocityModule(settings))
+    return model, modules
+
+
+def configuration_basic(settings):
+    model, modules = configuration_no_obstacles(settings)
+    modules.add_module(EllipsoidConstraintModule(settings))
+    return model, modules
+
+
+def configuration_tmpc(settings, constraint_submodule=None):
+    model, modules = configuration_no_obstacles(settings)
+    modules.add_module(GuidanceConstraintModule(
+        settings, constraint_submodule=constraint_submodule))
+    return model, modules
+
+
+def configuration_tmpc_consistency_cost(settings, constraint_submodule=None):
+    """The fork's active configuration (solver script :107-116,148)."""
+    model, modules = configuration_no_obstacles(settings)
+    if settings["JULES"]["consistency_enabled"]:
+        modules.add_module(ConsistencyModule(settings))
+    modules.add_module(GuidanceConstraintModule(
+        settings, constraint_submodule=constraint_submodule))
+    return model, modules
+
+
+def configuration_lmpcc(settings):
+    modules = ModuleManager()
+    model = ContouringSecondOrderUnicycleModel()
+    base_module = modules.add_module(MPCBaseModule(settings))
+    base_module.weigh_variable("a", "acceleration")
+    base_module.weigh_variable("w", "angular_velocity")
+    modules.add_module(GoalModule(settings))
+    modules.add_module(PathReferenceVelocityModule(settings))
+    modules.add_module(EllipsoidConstraintModule(settings))
+    return model, modules
+
+
+def configuration_safe_horizon(settings):
+    """SH-MPC (solver script :70-92)."""
+    modules = ModuleManager()
+    model = ContouringSecondOrderUnicycleModelWithSlack()
+    base_module = modules.add_module(MPCBaseModule(settings))
+    base_module.weigh_variable("a", "acceleration")
+    base_module.weigh_variable("w", "angular_velocity")
+    base_module.weigh_variable("slack", "slack")
+    if not settings["contouring"]["dynamic_velocity_reference"]:
+        base_module.weigh_variable(
+            "v", ["velocity", "reference_velocity"],
+            cost_function=lambda x, w: w[0] * (x - w[1]) ** 2)
+    modules.add_module(ContouringModule(settings))
+    if settings["contouring"]["dynamic_velocity_reference"]:
+        modules.add_module(PathReferenceVelocityModule(settings))
+    modules.add_module(ScenarioConstraintModule(settings))
+    return model, modules
+
+
+def configuration_goal_tmpc(settings, constraint_submodule=None):
+    """Goal-tracking T-MPC (no reference path): used for open-space scenarios."""
+    modules = ModuleManager()
+    model = SecondOrderUnicycleModel()
+    base_module = modules.add_module(MPCBaseModule(settings))
+    base_module.weigh_variable("a", "acceleration")
+    base_module.weigh_variable("w", "angular_velocity")
+    modules.add_module(GoalModule(settings))
+    if settings["JULES"]["consistency_enabled"]:
+        modules.add_module(ConsistencyModule(settings))
+    modules.add_module(GuidanceConstraintModule(
+        settings, constraint_submodule=constraint_submodule))
+    return model, modules
+
+
+def build_planner(model, modules, settings, dtype=jnp.float64,
+                  sqp_config: Optional[SQPConfig] = None, clock=None) -> Planner:
+    """Assemble OCP + Solver + Planner and wire custom optimizers (the analog of
+    generate_solver + initializeModules)."""
+    import time
+
+    from .parallel.tmpc import TMPCOptimizer
+
+    ocp = build_ocp(model, modules, settings)
+    solver = Solver(ocp, settings, dtype=dtype, sqp_config=sqp_config)
+    planner = Planner(solver, modules, settings)
+    for module in modules:
+        if isinstance(module, GuidanceConstraintModule):
+            optimizer = TMPCOptimizer(solver, settings,
+                                      clock=clock or time.monotonic)
+            module.attach_optimizer(optimizer)
+        if isinstance(module, ScenarioConstraintModule):
+            from .parallel.scenario import ScenarioOptimizer
+
+            module.attach_optimizer(ScenarioOptimizer(solver, settings))
+    return planner

@@ -1,0 +1,366 @@
+"""Global guidance: Visibility-PRM search in (x, y, t) with homotopy classes.
+
+Reimplements the capability of the external ``guidance_planner`` package (tud-amr)
+used by the reference's T-MPC module (guidance_constraints.cpp:6,32,122,398,458 and
+config/guidance_planner.yaml): sample a space-time roadmap between the robot and a
+grid of goals, enumerate time-monotone collision-free paths, classify them into
+homotopy classes (winding signatures, :mod:`.homotopy`), smooth each class
+representative with cubic splines, and select up to ``n_paths`` distinct classes
+with a consistency-weighted heuristic.
+
+Host-side numpy: the search is tiny (default 30 samples, horizon 6 s) and ran in
+1-5 ms in the reference; the heavy per-class MPC solves are the batched TPU part.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .homotopy import signature_vector, same_homotopy_class
+from ..ops.spline_fit import natural_cubic_coeffs
+
+TOPOLOGY_NO_MATCH = -999
+
+
+@dataclass
+class Goal:
+    pos: np.ndarray  # (2,)
+    cost: float
+
+
+@dataclass
+class GuidanceTrajectory:
+    positions: np.ndarray  # (N+1, 2) sampled at dt
+    velocities: np.ndarray  # (N+1, 2)
+    topology_class: int
+    signature: np.ndarray
+    cost: float
+    previously_selected: bool = False
+    color: int = 0
+
+
+@dataclass
+class GuidanceConfig:
+    N: int = 30
+    dt: float = 0.2
+    n_paths: int = 4
+    n_samples: int = 30
+    seed: int = 1
+    max_velocity: float = 3.0
+    max_acceleration: float = 7.0
+    longitudinal_goals: int = 3
+    vertical_goals: int = 3
+    selection_weight_consistency: float = 0.75
+    selection_weight_length: float = 5.0
+    max_paths_to_enumerate: int = 200
+    pass_threshold: float = np.pi  # winding-difference class threshold
+
+
+class GlobalGuidance:
+    def __init__(self, config: Optional[GuidanceConfig] = None):
+        self.config = config or GuidanceConfig()
+        self.rng = np.random.default_rng(
+            self.config.seed if self.config.seed >= 0 else None)
+        # Inputs per cycle
+        self._start = np.zeros(2)
+        self._start_velocity = np.zeros(2)
+        self._goals: List[Goal] = []
+        self._obstacle_trajs = np.zeros((0, self.config.N + 1, 2))
+        self._obstacle_radii = np.zeros(0)
+        self._static_halfspaces: List = []
+        # Outputs
+        self.trajectories: List[GuidanceTrajectory] = []
+        # Cross-cycle consistency bookkeeping
+        self._selected_class: int = -1
+        self._selected_path: Optional[np.ndarray] = None
+        self._class_counter: int = 0
+        self._known_classes: List = []  # (class_id, representative path (N+1,2))
+
+    # -- inputs ------------------------------------------------------------
+    def set_start(self, position, orientation: float, velocity: float) -> None:
+        self._start = np.asarray(position, dtype=float)
+        self._start_velocity = velocity * np.array(
+            [np.cos(orientation), np.sin(orientation)])
+
+    def set_goals(self, goals: List[Goal]) -> None:
+        self._goals = goals
+
+    def load_obstacles(self, trajectories, radii) -> None:
+        """trajectories: (n_obs, >=N+1, 2) predicted positions on the dt grid."""
+        self._obstacle_trajs = np.asarray(trajectories, dtype=float)
+        self._obstacle_radii = np.asarray(radii, dtype=float)
+
+    def load_static_obstacles(self, halfspaces) -> None:
+        self._static_halfspaces = list(halfspaces)
+
+    def load_reference_path(self, s_start: float, path, width_left: float,
+                            width_right: float, path_velocity=None,
+                            reference_velocity: float = 2.0) -> None:
+        """Goal grid along the path (guidance_constraints.cpp:131-206): integrate
+        the path velocity to the horizon end, grid n_long x n_lat goals orthogonal
+        to the path with a center-line bias."""
+        cfg = self.config
+        final_s = s_start
+        for _ in range(1, cfg.N):
+            v = (path_velocity(final_s) if path_velocity is not None
+                 else reference_velocity)
+            final_s += v * cfg.dt
+        n_long, n_lat = cfg.longitudinal_goals, cfg.vertical_goals
+        assert n_lat % 2 == 1, "Number of lateral grid points should be odd!"
+        assert n_long >= 2, "At least two longitudinal goals required"
+        middle_lat = (n_lat - 1) // 2
+        s_long = np.linspace(s_start, final_s, n_long)
+        long_best = s_long[-1]
+        goals: List[Goal] = []
+        for i, s in enumerate(s_long):
+            long_cost = abs(s - long_best)
+            point = path.at(s)
+            tangent = path.deriv(s)
+            tangent = tangent / (np.linalg.norm(tangent) + 1e-12)
+            normal = np.array([tangent[1], -tangent[0]])
+            dist_lat = np.linspace(-width_left, width_right, n_lat)
+            dist_lat[middle_lat] = 0.0
+            for j, d in enumerate(dist_lat):
+                if i == 0 and j != middle_lat:
+                    continue
+                goals.append(Goal(point + normal * d, long_cost + abs(d)))
+        self._goals = goals
+
+    # -- collision helpers -------------------------------------------------
+    def _obstacle_pos_at(self, t: float) -> np.ndarray:
+        """(n_obs, 2) interpolated obstacle positions at continuous time t."""
+        if len(self._obstacle_trajs) == 0:
+            return np.zeros((0, 2))
+        cfg = self.config
+        k = t / cfg.dt
+        k0 = int(np.clip(np.floor(k), 0, self._obstacle_trajs.shape[1] - 1))
+        k1 = min(k0 + 1, self._obstacle_trajs.shape[1] - 1)
+        alpha = np.clip(k - k0, 0.0, 1.0)
+        return ((1 - alpha) * self._obstacle_trajs[:, k0]
+                + alpha * self._obstacle_trajs[:, k1])
+
+    def _point_free(self, pos: np.ndarray, t: float, margin: float = 0.0) -> bool:
+        obs = self._obstacle_pos_at(t)
+        if len(obs):
+            d = np.linalg.norm(obs - pos[None, :], axis=1)
+            if np.any(d < self._obstacle_radii + margin):
+                return False
+        for hs in self._static_halfspaces:
+            if float(np.dot(hs.A, pos)) > hs.b:
+                return False
+        return True
+
+    def _segment_valid(self, p1, t1, p2, t2, margin: float = 0.0) -> bool:
+        """Time-monotone, velocity-limited, collision-free straight connection."""
+        if t2 <= t1 + 1e-9:
+            return False
+        v = np.linalg.norm(p2 - p1) / (t2 - t1)
+        if v > self.config.max_velocity:
+            return False
+        n_checks = max(2, int(np.ceil((t2 - t1) / (self.config.dt * 0.5))))
+        for alpha in np.linspace(0.0, 1.0, n_checks + 1):
+            pos = p1 + alpha * (p2 - p1)
+            if not self._point_free(pos, t1 + alpha * (t2 - t1), margin):
+                return False
+        return True
+
+    # -- the PRM update ----------------------------------------------------
+    def update(self) -> bool:
+        """Run the Visibility-PRM search and extract homotopy-distinct guidance
+        trajectories. Returns True if at least one was found."""
+        cfg = self.config
+        T_horizon = cfg.N * cfg.dt
+        self.trajectories = []
+        if not self._goals:
+            return False
+
+        # Node set: start (t=0), goals (t=T), free samples in between
+        nodes = [(self._start, 0.0, "start", 0.0)]
+        for g in self._goals:
+            if self._point_free(g.pos, T_horizon):
+                nodes.append((g.pos, T_horizon, "goal", g.cost))
+        if len(nodes) == 1:
+            return False
+
+        lo = np.minimum(self._start, np.min([g.pos for g in self._goals], axis=0))
+        hi = np.maximum(self._start, np.max([g.pos for g in self._goals], axis=0))
+        span = np.maximum(hi - lo, 1.0)
+        lo -= 0.25 * span
+        hi += 0.25 * span
+
+        n_sampled = 0
+        attempts = 0
+        while n_sampled < cfg.n_samples and attempts < cfg.n_samples * 10:
+            attempts += 1
+            t = self.rng.uniform(0.15, 0.85) * T_horizon
+            pos = self.rng.uniform(lo, hi)
+            if self._point_free(pos, t):
+                nodes.append((pos, t, "sample", 0.0))
+                n_sampled += 1
+
+        # Sort by time; build the time-monotone visibility DAG
+        order = np.argsort([n[1] for n in nodes], kind="stable")
+        nodes = [nodes[i] for i in order]
+        n = len(nodes)
+        start_idx = next(i for i, nd in enumerate(nodes) if nd[2] == "start")
+        goal_idx = [i for i, nd in enumerate(nodes) if nd[2] == "goal"]
+        adj: List[List[int]] = [[] for _ in range(n)]
+        for i in range(n):
+            for j in range(i + 1, n):
+                if self._segment_valid(nodes[i][0], nodes[i][1],
+                                       nodes[j][0], nodes[j][1]):
+                    adj[i].append(j)
+
+        # Enumerate start->goal paths (bounded DFS over the DAG)
+        paths: List[List[int]] = []
+
+        def dfs(i, current):
+            if len(paths) >= cfg.max_paths_to_enumerate:
+                return
+            if nodes[i][2] == "goal":
+                paths.append(list(current))
+                return
+            for j in adj[i]:
+                current.append(j)
+                dfs(j, current)
+                current.pop()
+
+        dfs(start_idx, [start_idx])
+        if not paths:
+            return False
+
+        # Sample every path on the dt grid, classify, dedupe, cost
+        candidates = []
+        for path in paths:
+            pts = np.array([nodes[i][0] for i in path])
+            ts = np.array([nodes[i][1] for i in path])
+            sampled = self._resample(pts, ts)
+            sig = signature_vector(sampled, self._obstacle_trajs[:, : cfg.N + 1])
+            goal_cost = nodes[path[-1]][3]
+            length = float(np.sum(np.linalg.norm(np.diff(pts, axis=0), axis=1)))
+            cost = goal_cost + cfg.selection_weight_length * length
+            candidates.append((cost, sampled, sig))
+        candidates.sort(key=lambda c: c[0])
+
+        # Previously selected path: recompute its signature on current obstacles
+        prev_sig = None
+        if self._selected_path is not None and self._selected_class >= 0:
+            prev_sig = signature_vector(
+                self._selected_path, self._obstacle_trajs[:, : cfg.N + 1])
+
+        chosen: List[GuidanceTrajectory] = []
+        for cost, sampled, sig in candidates:
+            if any(same_homotopy_class(sig, c.signature, cfg.pass_threshold)
+                   for c in chosen):
+                continue
+            smoothed = self._smooth(sampled)
+            vel = np.gradient(smoothed, cfg.dt, axis=0)
+            previously_selected = (
+                prev_sig is not None
+                and same_homotopy_class(sig, prev_sig, cfg.pass_threshold))
+            class_id = self._assign_class_id(sig, previously_selected)
+            chosen.append(GuidanceTrajectory(
+                positions=smoothed, velocities=vel, topology_class=class_id,
+                signature=sig, cost=cost,
+                previously_selected=previously_selected,
+                color=len(chosen)))
+            if len(chosen) >= cfg.n_paths:
+                break
+
+        # Previously-selected class first (guidance_planner orders by selection)
+        chosen.sort(key=lambda t: (not t.previously_selected, t.cost))
+        self.trajectories = chosen
+        return len(chosen) > 0
+
+    def _resample(self, pts: np.ndarray, ts: np.ndarray) -> np.ndarray:
+        cfg = self.config
+        t_grid = np.arange(cfg.N + 1) * cfg.dt
+        x = np.interp(t_grid, ts, pts[:, 0])
+        y = np.interp(t_grid, ts, pts[:, 1])
+        return np.stack([x, y], axis=1)
+
+    def _smooth(self, sampled: np.ndarray) -> np.ndarray:
+        """Cubic-spline smoothing through a subset of knots (the guidance
+        planner's spline optimization stage, simplified)."""
+        cfg = self.config
+        t_grid = np.arange(cfg.N + 1) * cfg.dt
+        n_knots = min(8, len(sampled))
+        knot_idx = np.unique(np.linspace(0, cfg.N, n_knots).astype(int))
+        tk = t_grid[knot_idx]
+        out = np.zeros_like(sampled)
+        for d in range(2):
+            a, b, c, dd = natural_cubic_coeffs(tk, sampled[knot_idx, d])
+            seg = np.clip(np.searchsorted(tk, t_grid, side="right") - 1, 0,
+                          len(a) - 1)
+            ds = t_grid - tk[seg]
+            out[:, d] = ((a[seg] * ds + b[seg]) * ds + c[seg]) * ds + dd[seg]
+        return out
+
+    def _assign_class_id(self, sig: np.ndarray, previously_selected: bool) -> int:
+        if previously_selected and self._selected_class >= 0:
+            return self._selected_class
+        # Match against known class representatives (re-evaluated signatures)
+        for class_id, rep_path in self._known_classes:
+            rep_sig = signature_vector(
+                rep_path, self._obstacle_trajs[:, : self.config.N + 1])
+            if same_homotopy_class(sig, rep_sig, self.config.pass_threshold):
+                return class_id
+        class_id = self._class_counter
+        self._class_counter += 1
+        return class_id
+
+    # -- outputs + cross-cycle API ----------------------------------------
+    def succeeded(self) -> bool:
+        return len(self.trajectories) > 0
+
+    def number_of_guidance_trajectories(self) -> int:
+        return len(self.trajectories)
+
+    def get_guidance_trajectory(self, i: int) -> GuidanceTrajectory:
+        return self.trajectories[i]
+
+    def find_topology_class_for_path(self, path_xy: np.ndarray) -> int:
+        """Classify an arbitrary (N+1, 2) trajectory against the current guidance
+        trajectories (guidance_constraints.cpp:448-502)."""
+        if not self.trajectories:
+            return TOPOLOGY_NO_MATCH
+        n = min(len(path_xy), self.config.N + 1)
+        sig = signature_vector(path_xy[:n], self._obstacle_trajs[:, :n])
+        for traj in self.trajectories:
+            tr_sig = signature_vector(traj.positions[:n],
+                                      self._obstacle_trajs[:, :n])
+            if same_homotopy_class(sig, tr_sig, self.config.pass_threshold):
+                return traj.topology_class
+        return TOPOLOGY_NO_MATCH
+
+    def override_selected_trajectory(self, topology_id: int, clear: bool,
+                                     selected_path: Optional[np.ndarray] = None
+                                     ) -> None:
+        """Record which topology the planner actually followed
+        (guidance_constraints.cpp:504-518)."""
+        if clear:
+            self._selected_class = -1
+            self._selected_path = None
+            return
+        self._selected_class = topology_id
+        if selected_path is not None:
+            self._selected_path = np.asarray(selected_path, dtype=float)
+            self._known_classes.append((topology_id, self._selected_path))
+            self._known_classes = self._known_classes[-8:]  # bounded memory
+        else:
+            for traj in self.trajectories:
+                if traj.topology_class == topology_id:
+                    self._selected_path = traj.positions
+                    self._known_classes.append((topology_id, traj.positions))
+                    self._known_classes = self._known_classes[-8:]
+                    break
+
+    def reset(self) -> None:
+        self.trajectories = []
+        self._selected_class = -1
+        self._selected_path = None
+        self._known_classes = []
+        self._class_counter = 0

@@ -74,15 +74,14 @@ class GuidanceConstraintModule(ConstraintModule):
         self.constraint_submodule.solver = value
 
     def update(self, state, data, module_data) -> None:
+        self.constraint_submodule.update(state, data, module_data)
         if self._optimizer is not None:
             self._optimizer.update(state, data, module_data)
 
     def set_parameters(self, buf, data, module_data) -> None:
         # Baseline fill (safety constraints + inactive topology halfspaces); the
         # per-planner topology parameters are overridden inside the batched optimize.
-        self.constraint_submodule.update(_StateShim(data), data, module_data)
         self.constraint_submodule.set_parameters(buf, data, module_data)
-        N = buf.N
         for i in range(self.topology_constraints.max_obstacles
                        + self.topology_constraints.n_other_halfspaces):
             buf.set(f"lin_constraint_{i}_a1", 1.0)
@@ -103,15 +102,3 @@ class GuidanceConstraintModule(ConstraintModule):
     def reset(self) -> None:
         if self._optimizer is not None:
             self._optimizer.reset()
-
-
-class _StateShim:
-    """Minimal state stand-in for submodule.update calls that only read x/y."""
-
-    def __init__(self, data):
-        self._pos = np.zeros(2)
-        if data.dynamic_obstacles:
-            pass
-
-    def get(self, name: str) -> float:
-        return 0.0

@@ -88,18 +88,22 @@ class FittedSpline:
     length: float  # total parameter length
 
     def eval(self, s):
+        scalar = np.ndim(s) == 0
         s = np.atleast_1d(np.asarray(s, dtype=float))
         idx = np.clip(np.searchsorted(self.starts, s, side="right") - 1, 0,
                       len(self.a) - 1)
         ds = s - self.starts[idx]
-        return ((self.a[idx] * ds + self.b[idx]) * ds + self.c[idx]) * ds + self.d[idx]
+        out = ((self.a[idx] * ds + self.b[idx]) * ds + self.c[idx]) * ds + self.d[idx]
+        return out[0] if scalar else out
 
     def deriv(self, s):
+        scalar = np.ndim(s) == 0
         s = np.atleast_1d(np.asarray(s, dtype=float))
         idx = np.clip(np.searchsorted(self.starts, s, side="right") - 1, 0,
                       len(self.a) - 1)
         ds = s - self.starts[idx]
-        return (3.0 * self.a[idx] * ds + 2.0 * self.b[idx]) * ds + self.c[idx]
+        out = (3.0 * self.a[idx] * ds + 2.0 * self.b[idx]) * ds + self.c[idx]
+        return out[0] if scalar else out
 
 
 class CubicSpline2D:

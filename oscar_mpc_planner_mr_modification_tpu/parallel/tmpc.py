@@ -1,0 +1,380 @@
+"""T-MPC++ parallel optimization as a batched (vmapped) JAX program.
+
+The reference forks 8 OpenMP threads, each owning a cloned acados solver
+(guidance_constraints.cpp:304-421). Here the planner axis is a *vmap dimension*:
+per-planner parameter matrices, warmstarts and topology-constraint linearizations
+are stacked into (P, ...) arrays and the whole fleet is solved by one compiled XLA
+program - the same structure scales from the reference's 8 planners to thousands of
+(planner x scenario x robot) instances on a TPU slice.
+
+Reproduced semantics (citations into src/guidance_constraints.cpp):
+- guidance goals grid + PRM update in ``update`` (:78-129, 131-206);
+- guided planners warmstart from the guidance spline (initializeSolverWithGuidance,
+  :546-570); the unguided "original" planner keeps the main solver's warmstart;
+- single-disc linearized topology constraints w.r.t. each planner's warmstart
+  (LinearizedConstraints with setTopologyConstraints, radius 1e-3);
+- per-planner consistency parameters with stage gating k in [1, N-2] (:996-1040)
+  and fair-cost comparison: the consistency cost is subtracted from each planner's
+  objective before selection (:374-420);
+- previously-selected topology preferred via selection_weight_consistency (:418);
+- best feasible planner by objective (:572-590); unguided winner classified into a
+  homotopy class (:448-502); consistency tracking reset when all infeasible
+  (:429-441); best solution copied into the main solver (:520-522).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..guidance.global_guidance import (GlobalGuidance, GuidanceConfig,
+                                        TOPOLOGY_NO_MATCH)
+from ..ops.sqp import make_sqp_solver, SQPResult
+from ..types import SolverState
+
+
+class TMPCOptimizer:
+    def __init__(self, solver, settings, guidance_config: Optional[GuidanceConfig]
+                 = None, clock=time.monotonic):
+        self.solver = solver
+        self.settings = settings
+        self.clock = clock
+        self.n_paths = int(settings["guidance"]["n_paths"])
+        self.use_tmpcpp = bool(settings["t-mpc"]["use_t-mpc++"])
+        self.enable_constraints = bool(settings["t-mpc"]["enable_constraints"])
+        self.n_planners = self.n_paths + (1 if self.use_tmpcpp else 0)
+        self.robot_radius = float(settings["robot_radius"])
+
+        gcfg = guidance_config or GuidanceConfig(
+            N=solver.N, dt=solver.dt,
+            n_paths=self.n_paths,
+            n_samples=int(settings["guidance"]["n_samples"]),
+            seed=int(settings["guidance"]["seed"]),
+            max_velocity=float(settings["guidance"]["max_velocity"]),
+            max_acceleration=float(settings["guidance"]["max_acceleration"]),
+            longitudinal_goals=int(settings["guidance"]["longitudinal_goals"]),
+            vertical_goals=int(settings["guidance"]["vertical_goals"]),
+            selection_weight_consistency=float(
+                settings["guidance"]["selection_weight_consistency"]),
+        )
+        self.global_guidance = GlobalGuidance(gcfg)
+
+        # Batched solver: vmap over (params, warmstart); shared xinit
+        raw = make_sqp_solver(solver.ocp, solver.config, dtype=solver.dtype)
+        self._batched_solve = jax.jit(jax.vmap(raw, in_axes=(0, None, 0)))
+
+        # Parameter column indices
+        reg = solver.ocp.registry
+        self._has_topology_params = reg.has_bundle("lin_constraint_a1")
+        if self._has_topology_params:
+            self._lin_a1 = np.asarray(reg.bundle_indices("lin_constraint_a1"))
+            self._lin_a2 = np.asarray(reg.bundle_indices("lin_constraint_a2"))
+            self._lin_b = np.asarray(reg.bundle_indices("lin_constraint_b"))
+        self._consistency_available = (
+            reg.has_parameter("consistency_weight")
+            and bool(settings["JULES"]["consistency_enabled"]))
+        self._consistency_on_non_guided = bool(
+            settings["JULES"].get("consistency_on_non_guided_planner", False))
+        self.consistency_weight = float(settings["weights"].get("consistency", 0.0))
+
+        # Consistency tracking (guidance_constraints.cpp:901-1070)
+        self._has_previous_trajectory = False
+        self._prev_trajectory = np.zeros((solver.N, 2))
+        self._interp_prev = np.zeros((solver.N, 2))
+        self._prev_timestamp = 0.0
+        self._prev_selected_topology_id = -1
+        self._prev_was_original = False
+        self.best_planner_index = -1
+
+        # Last-cycle diagnostics (per planner)
+        self.last_objectives = np.zeros(self.n_planners)
+        self.last_exit_codes = np.zeros(self.n_planners, dtype=int)
+
+    # ------------------------------------------------------------------
+    def update(self, state, data, module_data) -> None:
+        """Load obstacles/start/goals into the guidance planner and run the PRM
+        (guidance_constraints.cpp:78-129)."""
+        N = self.solver.N
+        n_steps = N + 1
+        trajs, radii = [], []
+        for obs in data.dynamic_obstacles:
+            mode = obs.prediction.modes[0] if not obs.prediction.empty() else []
+            pts = [obs.position] + [s.position for s in mode]
+            while len(pts) < n_steps:
+                pts.append(pts[-1])
+            trajs.append(np.asarray(pts[:n_steps]))
+            radii.append(obs.radius + self.robot_radius)
+        self.global_guidance.load_obstacles(
+            np.asarray(trajs) if trajs else np.zeros((0, n_steps, 2)),
+            np.asarray(radii))
+        if data.static_obstacles:
+            self.global_guidance.load_static_obstacles(data.static_obstacles[0])
+
+        self.global_guidance.set_start(
+            state.get_position(), state.get("psi"), state.get("v"))
+
+        if module_data.path is not None:
+            width_half = float(self.settings["road"]["width"]) / 2.0
+            s_start = max(0.0, state.get("spline")) if state.has("spline") else 0.0
+            self.global_guidance.load_reference_path(
+                s_start, module_data.path,
+                width_half - self.robot_radius - 0.1,
+                width_half - self.robot_radius - 0.1,
+                reference_velocity=float(
+                    self.settings["weights"].get("reference_velocity", 2.0)))
+        elif data.goal_received and data.goal is not None:
+            from ..guidance.global_guidance import Goal
+
+            # Goal-mode grid: lateral fan around the straight line to the goal
+            direction = data.goal - state.get_position()
+            dist = np.linalg.norm(direction)
+            direction = direction / (dist + 1e-9)
+            normal = np.array([-direction[1], direction[0]])
+            goals = [Goal(np.asarray(data.goal, dtype=float), 0.0)]
+            for d in (-2.0, -1.0, 1.0, 2.0):
+                goals.append(Goal(data.goal + normal * d, abs(d)))
+            self.global_guidance.set_goals(goals)
+
+        self.global_guidance.update()
+        module_data.num_of_guidance_found = (
+            self.global_guidance.number_of_guidance_trajectories())
+
+    # ------------------------------------------------------------------
+    def optimize(self, state, data, module_data) -> int:
+        """The parallel branch solve + selection (guidance_constraints.cpp:280-544)."""
+        gg = self.global_guidance
+        if not self.use_tmpcpp and not gg.succeeded():
+            return 0
+
+        self._interpolate_prev_trajectory()
+
+        P, N = self.n_planners, self.solver.N
+        nvar, nu = self.solver.nvar, self.solver.nu
+        n_guidance = gg.number_of_guidance_trajectories()
+
+        params = np.repeat(self.solver.params.data[None], P, axis=0)
+        warmstarts = np.repeat(self.solver._loaded_warmstart[None], P, axis=0)
+        disabled = np.zeros(P, dtype=bool)
+        is_original = np.zeros(P, dtype=bool)
+        if self.use_tmpcpp:
+            is_original[P - 1] = True
+        consistency_enabled = np.zeros(P, dtype=bool)
+
+        model = self.solver.ocp.model
+        ix, iy = model.var_index("x"), model.var_index("y")
+        ipsi, iv = model.var_index("psi"), model.var_index("v")
+
+        for p in range(P):
+            if not is_original[p]:
+                if p >= n_guidance:
+                    disabled[p] = True
+                    continue
+                traj = gg.get_guidance_trajectory(p)
+                # Warmstart from the guidance spline (cpp:546-570)
+                if not (self.settings["t-mpc"]["warmstart_with_mpc_solution"]):
+                    for k in range(1, N):
+                        warmstarts[p, k, ix] = traj.positions[k, 0]
+                        warmstarts[p, k, iy] = traj.positions[k, 1]
+                        vel = traj.velocities[k]
+                        warmstarts[p, k, ipsi] = np.arctan2(vel[1], vel[0])
+                        warmstarts[p, k, iv] = np.linalg.norm(vel)
+                if self.enable_constraints and self._has_topology_params:
+                    self._fill_topology_constraints(
+                        params[p], warmstarts[p], data)
+            consistency_enabled[p] = self._should_enable_consistency(
+                p, is_original[p], n_guidance)
+            if self._consistency_available:
+                self._fill_consistency_params(params[p], consistency_enabled[p])
+
+        # Batched solve on device
+        xinit = jnp.asarray(self.solver._xinit)
+        results: SQPResult = self._batched_solve(
+            jnp.asarray(params), xinit, jnp.asarray(warmstarts))
+        Z = np.asarray(results.z)
+        costs = np.asarray(results.cost, dtype=float).copy()
+        exit_codes = np.asarray(results.exit_code, dtype=int)
+        success = np.asarray(results.success, dtype=bool) & ~disabled
+
+        # Fair-cost comparison: subtract realized consistency cost (cpp:374-420)
+        for p in range(P):
+            if consistency_enabled[p] and self._has_previous_trajectory:
+                pos = Z[p, 1 : N - 1][:, [ix, iy]]
+                diff = pos - self._interp_prev[1 : N - 1]
+                costs[p] -= self.consistency_weight * float(np.sum(diff**2))
+            if (not is_original[p]) and p < n_guidance:
+                if gg.get_guidance_trajectory(p).previously_selected:
+                    costs[p] *= gg.config.selection_weight_consistency
+
+        self.last_objectives = costs
+        self.last_exit_codes = exit_codes
+
+        # Selection (FindBestPlanner, cpp:572-590)
+        feasible = np.where(success)[0]
+        if len(feasible) == 0:
+            self.best_planner_index = -1
+            self._has_previous_trajectory = False
+            self._prev_selected_topology_id = -1
+            self._prev_was_original = False
+            module_data.solver_state = SolverState.SOLVED_FAILED
+            return int(exit_codes[0])
+
+        best = int(feasible[np.argmin(costs[feasible])])
+        self.best_planner_index = best
+        best_path = Z[best, :, [ix, iy]].T  # (N+1, 2)
+
+        # Topology bookkeeping (cpp:425-543)
+        if is_original[best]:
+            guidance_id = 2 * gg.config.n_paths  # fallback "no topology" id
+            if (self.settings["JULES"]["assign_meaningful_topology_id_to_non_guided"]
+                    and n_guidance > 0):
+                match = gg.find_topology_class_for_path(best_path)
+                if match != TOPOLOGY_NO_MATCH:
+                    guidance_id = match
+            non_guided_matched = guidance_id != 2 * gg.config.n_paths
+            module_data.non_guided_homology_failed = not non_guided_matched
+            if self.settings["JULES"][
+                    "override_selected_traject_of_topology_non_guided"]:
+                clear = not non_guided_matched
+            else:
+                clear = True
+            gg.override_selected_trajectory(guidance_id, clear,
+                                            selected_path=best_path)
+            module_data.solver_state = (
+                SolverState.SOLVED_WITH_HOMOLOGY_ID if non_guided_matched
+                else SolverState.SOLVED_NO_HOMOLOGY_ID)
+        else:
+            guidance_id = gg.get_guidance_trajectory(best).topology_class
+            gg.override_selected_trajectory(guidance_id, clear=False,
+                                            selected_path=best_path)
+            module_data.solver_state = SolverState.SOLVED_WITH_HOMOLOGY_ID
+
+        # Copy best solution into the main solver (cpp:520-522)
+        best_result = SQPResult(
+            z=results.z[best], cost=results.cost[best],
+            eq_res=results.eq_res[best], qp_comp=results.qp_comp[best],
+            success=results.success[best], exit_code=results.exit_code[best])
+        self.solver.load_result(best_result)
+        self.solver.params.data[...] = params[best]
+
+        module_data.selected_topology_id = int(guidance_id)
+        module_data.selected_planner_index = best
+        module_data.used_guidance = not bool(is_original[best])
+        module_data.selected_was_non_guided = bool(is_original[best])
+        module_data.trajectory_cost = float(costs[best])
+        module_data.num_of_guidance_found = n_guidance
+
+        # Store trajectory for next-cycle consistency (cpp:1052-1070)
+        self._prev_trajectory = best_path[:N].copy()
+        self._prev_timestamp = self.clock()
+        self._has_previous_trajectory = True
+        self._prev_selected_topology_id = int(guidance_id)
+        self._prev_was_original = bool(is_original[best])
+
+        return int(exit_codes[best])
+
+    # ------------------------------------------------------------------
+    def _fill_topology_constraints(self, params_p, warmstart_p, data) -> None:
+        """Single-disc linearized halfspaces around this planner's warmstart
+        (LinearizedConstraints topology mode, linearized_constraints.cpp:49-148)."""
+        N = self.solver.N
+        model = self.solver.ocp.model
+        ix, iy = model.var_index("x"), model.var_index("y")
+        obstacles = data.dynamic_obstacles
+        n_rows = len(self._lin_a1)
+        radius = 1e-3 + self.robot_radius
+        dummy_b = 1.0e4
+        params_p[:, self._lin_a1] = 1.0
+        params_p[:, self._lin_a2] = 0.0
+        params_p[:, self._lin_b] = dummy_b
+        for k in range(1, N):
+            pos = warmstart_p[k, [ix, iy]].copy()
+            centers = []
+            for obs in obstacles:
+                mode = obs.prediction.modes[0]
+                centers.append(mode[min(k - 1, len(mode) - 1)].position)
+            # Project out of obstacle discs (3 sweeps)
+            for _ in range(3):
+                for c in centers:
+                    d = pos - c
+                    dist = np.linalg.norm(d)
+                    if dist < 1e-9:
+                        pos = c + np.array([radius, 0.0])
+                    elif dist < radius:
+                        pos = c + d * (radius / dist)
+            for i, c in enumerate(centers[:n_rows]):
+                diff = c - pos
+                dist = np.linalg.norm(diff)
+                if dist < 1e-9:
+                    continue
+                a1, a2 = diff[0] / dist, diff[1] / dist
+                params_p[k, self._lin_a1[i]] = a1
+                params_p[k, self._lin_a2[i]] = a2
+                params_p[k, self._lin_b[i]] = a1 * c[0] + a2 * c[1] - radius
+
+    def _should_enable_consistency(self, p, original, n_guidance) -> bool:
+        """guidance_constraints.cpp:953-991."""
+        if not self._consistency_available or not self._has_previous_trajectory:
+            return False
+        if self._prev_selected_topology_id == -1 and not self._prev_was_original:
+            return False
+        if original:
+            return self._consistency_on_non_guided and self._prev_was_original
+        if self._prev_was_original:
+            return False
+        if p < n_guidance:
+            return (self.global_guidance.get_guidance_trajectory(p).topology_class
+                    == self._prev_selected_topology_id)
+        return False
+
+    def _fill_consistency_params(self, params_p, enabled: bool) -> None:
+        """Stage-gated consistency parameters (cpp:996-1040): k in [1, N-2]."""
+        reg = self.solver.ocp.registry
+        N = self.solver.N
+        iw = reg.index("consistency_weight")
+        ixp = reg.index("prev_traj_x")
+        iyp = reg.index("prev_traj_y")
+        params_p[:, iw] = 0.0
+        params_p[:, ixp] = 0.0
+        params_p[:, iyp] = 0.0
+        if enabled and self._has_previous_trajectory:
+            params_p[1 : N - 1, iw] = self.consistency_weight
+            params_p[1 : N - 1, ixp] = self._interp_prev[1 : N - 1, 0]
+            params_p[1 : N - 1, iyp] = self._interp_prev[1 : N - 1, 1]
+
+    def _interpolate_prev_trajectory(self) -> None:
+        """Shift the stored trajectory by the elapsed wall-clock time
+        (guidance_constraints.cpp:1073-1133)."""
+        if not self._has_previous_trajectory:
+            return
+        elapsed = max(0.0, self.clock() - self._prev_timestamp)
+        dt = self.solver.dt
+        N = len(self._prev_trajectory)
+        k_shift = int(np.floor(elapsed / dt))
+        alpha = (elapsed - k_shift * dt) / dt
+        if k_shift >= N - 1:
+            self._has_previous_trajectory = False
+            return
+        out = np.zeros_like(self._prev_trajectory)
+        prev = self._prev_trajectory
+        for k in range(N):
+            src = k + k_shift
+            if src < N - 1:
+                out[k] = (1 - alpha) * prev[src] + alpha * prev[src + 1]
+            elif src == N - 1:
+                out[k] = prev[N - 1]
+            else:
+                vel = (prev[N - 1] - prev[N - 2]) / dt
+                out[k] = prev[N - 1] + vel * ((src - (N - 1)) * dt + alpha * dt)
+        self._interp_prev = out
+
+    def reset(self) -> None:
+        self.global_guidance.reset()
+        self._has_previous_trajectory = False
+        self._prev_selected_topology_id = -1
+        self._prev_was_original = False
+        self.best_planner_index = -1

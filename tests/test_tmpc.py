@@ -1,0 +1,221 @@
+"""T-MPC++ tests: guidance search, homotopy classes, batched parallel optimize.
+
+Covers BASELINE config 4 semantics: homotopy-distinct parallel guidance solves with
+best-trajectory selection and consistency weighting, in the reference's
+jackalsimulator T-MPC configuration (contouring + consistency + guidance).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from oscar_mpc_planner_mr_modification_tpu.factory import (
+    build_planner, configuration_tmpc_consistency_cost)
+from oscar_mpc_planner_mr_modification_tpu.guidance import (
+    GlobalGuidance, winding_signature, same_homotopy_class)
+from oscar_mpc_planner_mr_modification_tpu.guidance.global_guidance import (
+    GuidanceConfig, Goal)
+from oscar_mpc_planner_mr_modification_tpu.ops.sqp import SQPConfig
+from oscar_mpc_planner_mr_modification_tpu.planner.data_preparation import (
+    define_robot_area, ensure_obstacle_size, get_constant_velocity_prediction)
+from oscar_mpc_planner_mr_modification_tpu.solver import State
+from oscar_mpc_planner_mr_modification_tpu.types import (DynamicObstacle,
+                                                         RealTimeData)
+from oscar_mpc_planner_mr_modification_tpu.utils import default_settings
+
+
+# ---------------------------------------------------------------------------
+# Homotopy machinery
+# ---------------------------------------------------------------------------
+def test_winding_signature_distinguishes_sides():
+    T = 30
+    t = np.linspace(0, 1, T)
+    obstacle = np.stack([2.0 * np.ones(T), np.zeros(T)], axis=1)
+    above = np.stack([4.0 * t, 0.8 * np.sin(np.pi * t)], axis=1)
+    below = np.stack([4.0 * t, -0.8 * np.sin(np.pi * t)], axis=1)
+    w_above = winding_signature(above, obstacle)
+    w_below = winding_signature(below, obstacle)
+    assert w_above * w_below < 0  # opposite passing sides
+    assert abs(w_above - w_below) > np.pi
+    assert not same_homotopy_class(np.array([w_above]), np.array([w_below]))
+    assert same_homotopy_class(np.array([w_above]), np.array([w_above + 0.2]))
+
+
+# ---------------------------------------------------------------------------
+# Guidance PRM
+# ---------------------------------------------------------------------------
+def make_guidance(n_obs=1, N=20):
+    cfg = GuidanceConfig(N=N, dt=0.2, n_paths=4, n_samples=40, seed=1)
+    gg = GlobalGuidance(cfg)
+    gg.set_start(np.zeros(2), 0.0, 1.0)
+    gg.set_goals([Goal(np.array([6.0, 0.0]), 0.0),
+                  Goal(np.array([6.0, 1.5]), 1.5),
+                  Goal(np.array([6.0, -1.5]), 1.5)])
+    if n_obs:
+        # Static-ish obstacle in the middle of the corridor
+        traj = np.tile(np.array([3.0, 0.0]), (N + 1, 1))
+        gg.load_obstacles(traj[None], np.array([0.8]))
+    else:
+        gg.load_obstacles(np.zeros((0, N + 1, 2)), np.zeros(0))
+    return gg
+
+
+def test_guidance_finds_multiple_homotopy_classes():
+    gg = make_guidance()
+    assert gg.update()
+    n = gg.number_of_guidance_trajectories()
+    assert n >= 2  # passing left and right of the obstacle
+    sigs = [gg.get_guidance_trajectory(i).signature for i in range(n)]
+    for i in range(n):
+        for j in range(i + 1, n):
+            assert not same_homotopy_class(sigs[i], sigs[j])
+    # Trajectories start at the robot and end near a goal
+    for i in range(n):
+        traj = gg.get_guidance_trajectory(i)
+        assert np.linalg.norm(traj.positions[0]) < 0.3
+        assert traj.positions[-1][0] > 4.0
+
+
+def test_guidance_collision_free():
+    gg = make_guidance()
+    gg.update()
+    for i in range(gg.number_of_guidance_trajectories()):
+        traj = gg.get_guidance_trajectory(i)
+        d = np.linalg.norm(traj.positions - np.array([3.0, 0.0]), axis=1)
+        # Smoothing can cut corners slightly; require clear margin from center
+        assert d.min() > 0.45
+
+
+def test_find_topology_class_for_path():
+    gg = make_guidance()
+    gg.update()
+    traj0 = gg.get_guidance_trajectory(0)
+    # A path equal to guidance 0 matches its class
+    assert gg.find_topology_class_for_path(traj0.positions) == traj0.topology_class
+    # A path through the obstacle-free far side may or may not match; a path in
+    # class of trajectory 1 matches class 1
+    if gg.number_of_guidance_trajectories() > 1:
+        traj1 = gg.get_guidance_trajectory(1)
+        assert (gg.find_topology_class_for_path(traj1.positions)
+                == traj1.topology_class)
+
+
+def test_previously_selected_is_sticky():
+    gg = make_guidance()
+    gg.update()
+    t0 = gg.get_guidance_trajectory(0)
+    gg.override_selected_trajectory(t0.topology_class, clear=False)
+    gg.update()
+    flags = [gg.get_guidance_trajectory(i).previously_selected
+             for i in range(gg.number_of_guidance_trajectories())]
+    assert any(flags)
+    # the previously selected class keeps its id and sorts first
+    assert gg.get_guidance_trajectory(0).previously_selected
+    assert gg.get_guidance_trajectory(0).topology_class == t0.topology_class
+
+
+# ---------------------------------------------------------------------------
+# Full T-MPC closed loop (jackalsimulator configuration)
+# ---------------------------------------------------------------------------
+def make_tmpc_planner(N=20, fake_time=None):
+    settings = default_settings(
+        N=N, max_obstacles=2,
+        guidance={"n_samples": 40, "longitudinal_goals": 2, "vertical_goals": 3})
+    model, modules = configuration_tmpc_consistency_cost(settings)
+    clock = fake_time if fake_time is not None else None
+    planner = build_planner(model, modules, settings, dtype=jnp.float64,
+                            sqp_config=SQPConfig(n_sqp=6, n_qp_iter=12),
+                            clock=clock)
+    return planner, model, settings
+
+
+def make_tmpc_data(settings, state, obstacle_specs, N, dt):
+    data = RealTimeData()
+    data.robot_area = define_robot_area(
+        settings["robot"]["length"], settings["robot"]["width"],
+        settings["n_discs"])
+    path_x = np.linspace(0.0, 25.0, 30)
+    data.reference_path.x = list(path_x)
+    data.reference_path.y = [0.0] * 30
+    obstacles = []
+    for i, (pos, vel) in enumerate(obstacle_specs):
+        obs = DynamicObstacle(index=i, position=np.asarray(pos, dtype=float),
+                              radius=0.35)
+        obs.prediction = get_constant_velocity_prediction(pos, vel, dt, N)
+        obstacles.append(obs)
+    data.dynamic_obstacles = ensure_obstacle_size(
+        obstacles, state, settings["max_obstacles"], N, dt)
+    return data
+
+
+class FakeClock:
+    def __init__(self):
+        self.t = 0.0
+
+    def __call__(self):
+        return self.t
+
+
+def test_tmpc_closed_loop_progresses_and_avoids():
+    N, dt = 20, 0.2
+    clock = FakeClock()
+    planner, model, settings = make_tmpc_planner(N=N, fake_time=clock)
+    state = State(model)
+    state.set("v", 0.5)
+    obstacle = np.array([4.0, 0.0])
+
+    data0 = make_tmpc_data(settings, state, [(obstacle, np.zeros(2))], N, dt)
+    planner.on_data_received(data0, "reference_path")
+
+    min_dist = np.inf
+    topologies = []
+    n_success = 0
+    for step in range(35):
+        data = make_tmpc_data(settings, state, [(obstacle, np.zeros(2))], N, dt)
+        out = planner.solve_mpc(state, data)
+        if out.success:
+            n_success += 1
+            a = planner.get_solution(0, "a")
+            w = planner.get_solution(0, "w")
+            topologies.append(out.selected_topology_id)
+        else:
+            a, w = -3.0, 0.0
+        x_next = model.discrete_dynamics(
+            jnp.asarray(state.as_array()), jnp.asarray([a, w]), dt)
+        state.set_array(np.asarray(x_next))
+        clock.t += dt
+        min_dist = min(min_dist, np.linalg.norm(state.get_position() - obstacle))
+
+    assert n_success >= 25, f"solved {n_success}/35"
+    assert state.get("x") > 5.0, f"did not progress: {state}"
+    assert min_dist > 0.6, f"too close to obstacle: {min_dist:.2f}"
+    # Topology selection is meaningful and mostly stable
+    assert len(topologies) > 0
+    assert topologies[-1] >= 0 or topologies[-1] == 2 * settings["guidance"]["n_paths"]
+
+
+def test_tmpc_parallel_objectives_and_selection():
+    """The selected planner must be the feasible one with the lowest (consistency-
+    adjusted) objective."""
+    N, dt = 20, 0.2
+    clock = FakeClock()
+    planner, model, settings = make_tmpc_planner(N=N, fake_time=clock)
+    state = State(model)
+    state.set("v", 1.0)
+    obstacle = np.array([4.0, 0.2])
+    data = make_tmpc_data(settings, state, [(obstacle, np.zeros(2))], N, dt)
+    planner.on_data_received(data, "reference_path")
+    out = planner.solve_mpc(state, data)
+    assert out.success
+
+    from oscar_mpc_planner_mr_modification_tpu.modules import GuidanceConstraintModule
+
+    gmod = next(m for m in planner.modules
+                if isinstance(m, GuidanceConstraintModule))
+    opt = gmod._optimizer
+    assert opt.best_planner_index >= 0
+    feasible_costs = [opt.last_objectives[p] for p in range(opt.n_planners)
+                      if opt.last_exit_codes[p] == 1]
+    assert np.isclose(min(feasible_costs), opt.last_objectives[opt.best_planner_index])
+    assert out.num_of_guidance_found >= 1
