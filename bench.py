@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""T-MPC throughput benchmark (driver entry point).
+
+Measures full-horizon T-MPC plans/s on the current accelerator: each plan is the
+BASELINE config-4 workload - N=20 contouring MPC with 4 ellipsoidal obstacles,
+8 homotopy-distinct guidance planners + 1 unguided planner solved in parallel and
+reduced by on-device best-trajectory selection. The reference achieves ~25-35 ms
+per plan on an 8-core CPU (docs/guidance_constraints_documentation.md:1339-1343),
+i.e. ~30 plans/s; the v5p-16 target is >=10,000 plans/s (625 per chip).
+
+Prints ONE JSON line:
+{"metric": ..., "value": plans/s, "unit": "plans/s", "vs_baseline": value/625, ...}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from oscar_mpc_planner_mr_modification_tpu.benchmarks import (
+        build_tmpc_fleet, tmpc_bench_ocp)
+    from oscar_mpc_planner_mr_modification_tpu.ops.sqp import SQPConfig
+    from oscar_mpc_planner_mr_modification_tpu.parallel.batch import (
+        make_batched_tmpc_step)
+
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    n_paths = int(os.environ.get("BENCH_PATHS", "8"))
+    N = int(os.environ.get("BENCH_N", "20"))
+
+    platform = jax.devices()[0].platform
+    ocp, settings = tmpc_bench_ocp(N=N, n_paths=n_paths)
+    config = SQPConfig(n_sqp=10, n_qp_iter=15, mu_min=1e-6, w_max=1e6,
+                       reg_eps=1e-4)
+    step = make_batched_tmpc_step(ocp, config, dtype=jnp.float32)
+
+    params, xinit, z_init, disabled = build_tmpc_fleet(ocp, settings, batch)
+    args = tuple(map(jnp.asarray, (params, xinit, z_init, disabled)))
+
+    # Warmup / compile
+    out = step(*args)
+    jax.block_until_ready(out.best_cost)
+    success_rate = float(np.mean(np.asarray(out.any_success)))
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = step(*args)
+        jax.block_until_ready(out.best_cost)
+        times.append(time.perf_counter() - t0)
+    times = np.asarray(times)
+    plans_per_s = batch / float(np.median(times))
+
+    # Real-time latency: small-batch plan (one robot fleet tick)
+    small = tuple(a[:8] for a in args)
+    lat = []
+    out = step(*small)
+    jax.block_until_ready(out.best_cost)
+    for _ in range(30):
+        t0 = time.perf_counter()
+        out = step(*small)
+        jax.block_until_ready(out.best_cost)
+        lat.append(time.perf_counter() - t0)
+    lat_p99_ms = float(np.percentile(np.asarray(lat) * 1e3, 99))
+
+    per_chip_target = 10000.0 / 16.0  # v5p-16 target share per chip
+    print(json.dumps({
+        "metric": "tmpc_plans_per_s_per_chip",
+        "value": round(plans_per_s, 2),
+        "unit": "plans/s",
+        "vs_baseline": round(plans_per_s / per_chip_target, 3),
+        "batch": batch,
+        "n_planners": n_paths + 1,
+        "horizon": N,
+        "p99_small_batch_latency_ms": round(lat_p99_ms, 2),
+        "success_rate": round(success_rate, 4),
+        "platform": platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()

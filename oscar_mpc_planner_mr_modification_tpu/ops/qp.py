@@ -67,6 +67,59 @@ class QPSolution(NamedTuple):
 
 
 # ---------------------------------------------------------------------------
+# Small SPD solves (closed-form for nu in {1,2,3}; avoids batched LAPACK-style
+# Cholesky custom calls which dominate scan time on TPU)
+# ---------------------------------------------------------------------------
+def spd_factor(M):
+    """Return an opaque factorization of the SPD matrix M for :func:`spd_solve`.
+
+    For n <= 3 this is the explicit inverse (adjugate / determinant - branch-free,
+    VPU-only); larger n falls back to Cholesky.
+    """
+    n = M.shape[-1]
+    if n == 1:
+        return 1.0 / M
+    if n == 2:
+        a, b = M[..., 0, 0], M[..., 0, 1]
+        d = M[..., 1, 1]
+        det = a * d - b * b
+        inv = jnp.stack([
+            jnp.stack([d, -b], axis=-1),
+            jnp.stack([-b, a], axis=-1),
+        ], axis=-2) / det[..., None, None]
+        return inv
+    if n == 3:
+        a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+        d, e = M[..., 1, 1], M[..., 1, 2]
+        f = M[..., 2, 2]
+        A00 = d * f - e * e
+        A01 = c * e - b * f
+        A02 = b * e - c * d
+        A11 = a * f - c * c
+        A12 = b * c - a * e
+        A22 = a * d - b * b
+        det = a * A00 + b * A01 + c * A02
+        inv = jnp.stack([
+            jnp.stack([A00, A01, A02], axis=-1),
+            jnp.stack([A01, A11, A12], axis=-1),
+            jnp.stack([A02, A12, A22], axis=-1),
+        ], axis=-2) / det[..., None, None]
+        return inv
+    return jnp.linalg.cholesky(M)
+
+
+def spd_solve(fact, rhs):
+    """Solve M x = rhs given :func:`spd_factor`'s output (rhs: (..., n) or
+    (..., n, k))."""
+    n = fact.shape[-1]
+    if n <= 3:
+        if rhs.ndim == fact.ndim - 1:
+            return jnp.einsum("...ij,...j->...i", fact, rhs)
+        return fact @ rhs
+    return jax.scipy.linalg.cho_solve((fact, True), rhs)
+
+
+# ---------------------------------------------------------------------------
 # Riccati factorization + vector solves
 # ---------------------------------------------------------------------------
 def riccati_factor(H, A, B, nu: int):
@@ -86,8 +139,8 @@ def riccati_factor(H, A, B, nu: int):
         Quu = Huu_k + B_k.T @ PB
         Qux = Hux_k + B_k.T @ PA
         Qxx = Hxx_k + A_k.T @ PA
-        L = jnp.linalg.cholesky(Quu)
-        K = -jax.scipy.linalg.cho_solve((L, True), Qux)
+        L = spd_factor(Quu)
+        K = -spd_solve(L, Qux)
         P_new = Qxx + Qux.T @ K
         P_new = 0.5 * (P_new + P_new.T)
         return P_new, (K, L, Qux, P)
@@ -109,7 +162,7 @@ def riccati_solve_vec(fact, g, A, B, c, r0, nu: int):
         beta = p + P_next @ c_k
         qu = gu_k + B_k.T @ beta
         qx = gx_k + A_k.T @ beta
-        kff = -jax.scipy.linalg.cho_solve((L, True), qu)
+        kff = -spd_solve(L, qu)
         p_new = qx + Qux.T @ kff
         return p_new, kff
 

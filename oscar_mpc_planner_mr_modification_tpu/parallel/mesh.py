@@ -1,0 +1,93 @@
+"""Multi-chip fleet execution: instances x planners sharded over a device mesh.
+
+The reference's parallelism tops out at 8 OpenMP threads on one CPU
+(guidance_constraints.cpp:304). Here the fleet = (robot/scenario instances) x
+(homotopy planners) lays out on a 2D ``jax.sharding.Mesh``:
+
+- axis "robots": data-parallel over planning instances (multi-robot /
+  multi-scenario batch);
+- axis "planners": the T-MPC planner batch, sharded so very large homotopy or
+  scenario fleets exceed one chip; the best-trajectory selection reduces across
+  this axis with XLA collectives (two-phase: local argmin, then an all_gather of
+  the per-shard champions + final argmin - bytes moved are O(shards), not O(P)).
+
+Collectives ride ICI within a slice; scaling to multiple hosts is the same program
+over a larger mesh (SURVEY §2.8 mapping).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.sqp import make_sqp_solver, SQPConfig
+
+
+def make_mesh(n_robots: int, n_planner_shards: int, devices=None) -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    assert devices.size == n_robots * n_planner_shards, (
+        f"{devices.size} devices != {n_robots} x {n_planner_shards}")
+    return Mesh(devices.reshape(n_robots, n_planner_shards),
+                axis_names=("robots", "planners"))
+
+
+def make_sharded_tmpc_step(ocp, config: SQPConfig, mesh: Mesh,
+                           dtype=jnp.float32):
+    """Fleet step over a ("robots", "planners") mesh.
+
+    Inputs (global shapes): params (B, P, N, npar), xinit (B, nx),
+    z_init (B, P, N+1, nvar), disabled (B, P); B sharded over "robots",
+    P sharded over "planners". Returns per-instance best (z, cost, index).
+    """
+    solve = make_sqp_solver(ocp, config, dtype=dtype)
+    n_planner_shards = mesh.shape["planners"]
+
+    def local_block(params, xinit, z_init, disabled):
+        """Runs on one device: local (b_loc, p_loc) block + cross-shard selection."""
+        # Solve the local planner block for each local instance
+        res = jax.vmap(
+            jax.vmap(solve, in_axes=(0, None, 0)), in_axes=(0, 0, 0)
+        )(params, xinit, z_init)
+        ok = res.success & (~disabled)
+        costs = jnp.where(ok, res.cost, jnp.inf)  # (b_loc, p_loc)
+
+        # Phase 1: local champion per instance
+        local_best = jnp.argmin(costs, axis=1)  # (b_loc,)
+        b_idx = jnp.arange(costs.shape[0])
+        champ_cost = costs[b_idx, local_best]  # (b_loc,)
+        champ_z = res.z[b_idx, local_best]  # (b_loc, N+1, nvar)
+        shard_id = jax.lax.axis_index("planners")
+        champ_global_idx = shard_id * costs.shape[1] + local_best
+
+        # Phase 2: all_gather the champions across planner shards + final argmin
+        all_cost = jax.lax.all_gather(champ_cost, "planners", axis=1)  # (b, S)
+        all_z = jax.lax.all_gather(champ_z, "planners", axis=1)  # (b, S, ...)
+        all_idx = jax.lax.all_gather(champ_global_idx, "planners", axis=1)
+        win = jnp.argmin(all_cost, axis=1)  # (b_loc,)
+        best_cost = all_cost[b_idx, win]
+        best_z = all_z[b_idx, win]
+        best_index = all_idx[b_idx, win]
+        any_ok = jnp.isfinite(best_cost)
+        return best_z, best_cost, best_index, any_ok
+
+    sharded = jax.shard_map(
+        local_block, mesh=mesh,
+        in_specs=(P("robots", "planners"), P("robots"),
+                  P("robots", "planners"), P("robots", "planners")),
+        out_specs=(P("robots"), P("robots"), P("robots"), P("robots")),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def shard_fleet_arrays(mesh: Mesh, params, xinit, z_init, disabled):
+    """Place the global fleet arrays with the fleet sharding."""
+    s_bp = NamedSharding(mesh, P("robots", "planners"))
+    s_b = NamedSharding(mesh, P("robots"))
+    return (jax.device_put(params, s_bp), jax.device_put(xinit, s_b),
+            jax.device_put(z_init, s_bp), jax.device_put(disabled, s_bp))
