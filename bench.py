@@ -32,30 +32,40 @@ def main():
     from oscar_mpc_planner_mr_modification_tpu.parallel.batch import (
         make_batched_tmpc_step)
 
-    batch = int(os.environ.get("BENCH_BATCH", "256"))
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    batch = int(os.environ.get("BENCH_BATCH", "1024"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
     n_paths = int(os.environ.get("BENCH_PATHS", "8"))
     N = int(os.environ.get("BENCH_N", "20"))
 
     platform = jax.devices()[0].platform
     ocp, settings = tmpc_bench_ocp(N=N, n_paths=n_paths)
+    # TPU fleet operating point: fused Pallas QP kernel + Gershgorin-shift
+    # PSD-ization (see ops/qp_pallas.py, ops/sqp.py)
     config = SQPConfig(n_sqp=10, n_qp_iter=15, mu_min=1e-6, w_max=1e6,
-                       reg_eps=1e-4)
+                       reg_eps=1e-4,
+                       regularization="gershgorin" if platform == "tpu"
+                       else "mirror")
     step = make_batched_tmpc_step(ocp, config, dtype=jnp.float32)
 
     params, xinit, z_init, disabled = build_tmpc_fleet(ocp, settings, batch)
     args = tuple(map(jnp.asarray, (params, xinit, z_init, disabled)))
 
+    def run(a):
+        """Execute one step and force completion (host readback: on the axon
+        tunnel backend, block_until_ready alone does not block)."""
+        out = step(*a)
+        float(jnp.sum(out.best_cost))
+        return out
+
     # Warmup / compile
-    out = step(*args)
-    jax.block_until_ready(out.best_cost)
+    out = run(args)
     success_rate = float(np.mean(np.asarray(out.any_success)))
 
     times = []
-    for _ in range(iters):
+    for i in range(iters):
+        perturbed = (args[0] + 1e-6 * i, args[1], args[2], args[3])
         t0 = time.perf_counter()
-        out = step(*args)
-        jax.block_until_ready(out.best_cost)
+        out = run(perturbed)
         times.append(time.perf_counter() - t0)
     times = np.asarray(times)
     plans_per_s = batch / float(np.median(times))
@@ -64,11 +74,12 @@ def main():
     small = tuple(a[:8] for a in args)
     lat = []
     out = step(*small)
-    jax.block_until_ready(out.best_cost)
-    for _ in range(30):
+    float(jnp.sum(out.best_cost))
+    for i in range(30):
+        sp = (small[0] + 1e-6 * i, small[1], small[2], small[3])
         t0 = time.perf_counter()
-        out = step(*small)
-        jax.block_until_ready(out.best_cost)
+        out = step(*sp)
+        float(jnp.sum(out.best_cost))
         lat.append(time.perf_counter() - t0)
     lat_p99_ms = float(np.percentile(np.asarray(lat) * 1e3, 99))
 

@@ -45,11 +45,43 @@ def make_plan_fn(ocp, config: SQPConfig, dtype=jnp.float32):
     return plan
 
 
-def make_batched_tmpc_step(ocp, config: SQPConfig, dtype=jnp.float32):
-    """(B, P)-batched T-MPC step, jitted with donated buffers.
+def make_batched_tmpc_step(ocp, config: SQPConfig, dtype=jnp.float32,
+                           backend: str = "auto"):
+    """(B, P)-batched T-MPC step.
 
     plan_step(params (B,P,N,npar), xinit (B,nx), z_init (B,P,N+1,nvar),
     disabled (B,P)) -> TMPCStepResult with leading B axis.
+
+    backend: "pallas" routes all B*P QP subproblems through the fused TPU kernel
+    (:mod:`..ops.qp_pallas`); "xla" uses the vmapped reference solver; "auto"
+    picks pallas on TPU.
     """
-    plan = make_plan_fn(ocp, config, dtype)
-    return jax.jit(jax.vmap(plan))
+    if backend == "auto":
+        backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+
+    if backend == "xla":
+        plan = make_plan_fn(ocp, config, dtype)
+        return jax.jit(jax.vmap(plan))
+
+    from ..ops.sqp import make_fleet_sqp_solver
+
+    fleet_solve = make_fleet_sqp_solver(ocp, config, dtype, backend="pallas")
+
+    @jax.jit
+    def plan_step(params, xinit, z_init, disabled):
+        B, P = params.shape[:2]
+        flat_params = params.reshape(B * P, *params.shape[2:])
+        flat_xinit = jnp.repeat(xinit, P, axis=0)
+        flat_z = z_init.reshape(B * P, *z_init.shape[2:])
+        res = fleet_solve(flat_params, flat_xinit, flat_z)
+        costs = jnp.where(res.success.reshape(B, P) & (~disabled),
+                          res.cost.reshape(B, P), jnp.inf)
+        best = jnp.argmin(costs, axis=1)  # (B,)
+        b_idx = jnp.arange(B)
+        z_bp = res.z.reshape(B, P, *res.z.shape[1:])
+        return TMPCStepResult(
+            best_z=z_bp[b_idx, best], best_cost=costs[b_idx, best],
+            best_index=best, any_success=jnp.isfinite(costs[b_idx, best]),
+            all_costs=costs, all_success=jnp.isfinite(costs))
+
+    return plan_step

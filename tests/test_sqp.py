@@ -157,3 +157,28 @@ def test_infeasible_start_recovers():
     result = solve(jnp.asarray(P2), jnp.asarray(x0), jnp.asarray(z_init))
     assert np.all(np.isfinite(np.asarray(result.z)))
     assert int(result.exit_code) in (0, 1)
+
+
+def test_fleet_solver_matches_per_instance():
+    """Fleet (batched) solver with the XLA backend reproduces the per-instance
+    solver; gershgorin regularization converges to the same solution as mirror."""
+    from oscar_mpc_planner_mr_modification_tpu.ops.sqp import make_fleet_sqp_solver
+
+    N = 20
+    ocp, P, x0, z_init = goal_tracking_setup(N=N)
+    cfg = SQPConfig(n_sqp=20, n_qp_iter=18, mu_min=1e-9)
+    single = make_sqp_solver(ocp, cfg, dtype=jnp.float64)
+    ref = single(jnp.asarray(P), jnp.asarray(x0), jnp.asarray(z_init))
+
+    Bt = 3
+    fleet = make_fleet_sqp_solver(
+        ocp, SQPConfig(n_sqp=20, n_qp_iter=18, mu_min=1e-9,
+                       regularization="gershgorin"),
+        dtype=jnp.float64, backend="xla")
+    out = fleet(jnp.asarray(np.tile(P[None], (Bt, 1, 1))),
+                jnp.asarray(np.tile(x0[None], (Bt, 1))),
+                jnp.asarray(np.tile(z_init[None], (Bt, 1, 1))))
+    assert bool(out.success.all())
+    for b in range(Bt):
+        np.testing.assert_allclose(np.asarray(out.z[b, :-1, :2]),
+                                   np.asarray(ref.z[:-1, :2]), atol=1e-4)
