@@ -1,0 +1,316 @@
+"""Multi-robot coordination driver (ROS-free).
+
+Reproduces the fork's multi-robot node (``JulesJackalPlanner``,
+mpc_planner_jackalsimulator/src/jules_ros1_jackalplanner.cpp) as a host-side
+Python agent + an in-process message bus standing in for the ROS topics:
+
+- the 12-state planner FSM with the reference's transitions (:258-404);
+- peer robots tracked as trajectory obstacles, initialized far away
+  (:100-140) and updated from received :class:`..multirobot.comms.TrajectoryMessage`s
+  with validation (:522-680);
+- stale-trajectory interpolation/extrapolation before each plan (:836-1065);
+- braking-command fallback AND braking-trajectory broadcast on infeasibility so
+  peers still receive a prediction (:1067-1218);
+- event-triggered communication with the five prioritized triggers (:1400-1482);
+- per-cycle :class:`..metrics.MPCMetrics` telemetry (:1338-1398).
+
+The per-robot MPC is the full T-MPC planner; with a shared clock the whole
+fleet can also be batched on-device (parallel/), but this driver keeps the
+reference's per-robot event semantics for behavioral parity.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from ..metrics import MetricsLog, MPCMetrics
+from ..planner.data_preparation import (define_robot_area,
+                                        ensure_obstacle_size,
+                                        get_constant_velocity_prediction)
+from ..solver import State
+from ..types import (DynamicObstacle, ObstacleType, PlannerState,
+                     Prediction, PredictionStep, PredictionType, RealTimeData)
+from .comms import (CommunicationState, CommunicationTriggerReason,
+                    TrajectoryMessage, decide_communication)
+from .interpolation import interpolate_trajectory_by_elapsed_time
+
+
+@dataclass
+class MessageBus:
+    """In-process pub/sub standing in for the ROS topics between robots."""
+
+    subscribers: Dict[str, List[Callable]] = field(default_factory=dict)
+
+    def subscribe(self, ns: str, callback: Callable) -> None:
+        self.subscribers.setdefault(ns, []).append(callback)
+
+    def publish(self, sender_ns: str, msg: TrajectoryMessage) -> None:
+        for ns, callbacks in self.subscribers.items():
+            if ns == sender_ns:
+                continue
+            for cb in callbacks:
+                cb(msg)
+
+
+class RobotAgent:
+    """One robot: FSM + planner + communication (JulesJackalPlanner equivalent)."""
+
+    def __init__(self, ns: str, index: int, planner, model, settings,
+                 goal: np.ndarray, bus: MessageBus, clock=time.monotonic,
+                 start_pose=(0.0, 0.0, 0.0)):
+        self.ns = ns
+        self.index = index
+        self.planner = planner
+        self.model = model
+        self.settings = settings
+        self.bus = bus
+        self.clock = clock
+        self.goal = np.asarray(goal, dtype=float)
+
+        self.state = State(model)
+        self.state.set("x", start_pose[0])
+        self.state.set("y", start_pose[1])
+        self.state.set("psi", start_pose[2])
+        self.fsm = PlannerState.TIMER_STARTUP
+        self.data = RealTimeData()
+        self.data.robot_area = define_robot_area(
+            settings["robot"]["length"], settings["robot"]["width"],
+            settings["n_discs"])
+        self.data.goal = self.goal
+        self.data.goal_received = True
+        self.comm = CommunicationState()
+        self.metrics = MetricsLog()
+        # Peer trajectory store: ns -> TrajectoryMessage
+        self._peer_trajectories: Dict[str, TrajectoryMessage] = {}
+        self._validated_peers: set = set()
+        self._peer_namespaces: List[str] = []
+        self._pose_received = True  # sim provides poses synchronously
+        self.last_command = (0.0, 0.0)
+        bus.subscribe(ns, self._trajectory_callback)
+
+    # -- message handling (jules :522-680) ---------------------------------
+    def set_peers(self, namespaces: List[str]) -> None:
+        self._peer_namespaces = [n for n in namespaces if n != self.ns]
+
+    def _trajectory_callback(self, msg: TrajectoryMessage) -> None:
+        if msg.robot_ns == self.ns:
+            return
+        if not np.all(np.isfinite(msg.positions)):
+            return  # validation: reject garbage
+        if len(msg.positions) == 0:
+            return
+        self._peer_trajectories[msg.robot_ns] = msg
+        self._validated_peers.add(msg.robot_ns)
+        # Receiving first valid trajectories unblocks planning (rx-driven FSM
+        # transition, jules :634-637)
+        if (self.fsm == PlannerState.WAITING_FOR_TRAJECTORY_DATA
+                and self._have_all_peer_trajectories()):
+            self.fsm = PlannerState.PLANNING_ACTIVE
+
+    def _have_all_peer_trajectories(self) -> bool:
+        return all(ns in self._validated_peers for ns in self._peer_namespaces)
+
+    # -- obstacle preparation (jules :800-1065) ----------------------------
+    def prepare_obstacle_data(self, external_obstacles=None) -> None:
+        N = self.planner.solver.N
+        dt = self.planner.solver.dt
+        now = self.clock()
+        obstacles: List[DynamicObstacle] = list(external_obstacles or [])
+
+        for peer_idx, ns in enumerate(self._peer_namespaces):
+            msg = self._peer_trajectories.get(ns)
+            robot_index = 1000 + peer_idx  # stable id per peer
+            if msg is None:
+                # Not yet received: far-away dummy (jules :100-140)
+                pos = self.state.get_position() + np.array([100.0, 100.0])
+                obs = DynamicObstacle(index=robot_index, position=pos,
+                                      radius=self.settings["robot_radius"],
+                                      type=ObstacleType.ROBOT)
+                obs.prediction = get_constant_velocity_prediction(
+                    pos, np.zeros(2), dt, N)
+                obstacles.append(obs)
+                continue
+            positions, orientations = msg.positions, msg.orientations
+            if self.settings["JULES"]["enable_trajectory_interpolation"]:
+                out = interpolate_trajectory_by_elapsed_time(
+                    positions, orientations, msg.dt, now - msg.stamp,
+                    float(self.settings["control_frequency"]),
+                    float(self.settings["JULES"]["robot_max_velocity"]),
+                    float(self.settings["JULES"]["robot_max_angular_velocity"]))
+                if out is not None:
+                    positions, orientations = out
+            obs = DynamicObstacle(
+                index=robot_index, position=positions[0].copy(),
+                angle=float(orientations[0]), radius=msg.radius,
+                type=ObstacleType.ROBOT)
+            steps = [PredictionStep(positions[min(k + 1, len(positions) - 1)].copy(),
+                                    float(orientations[min(k + 1, len(positions) - 1)]),
+                                    0.0, 0.0)
+                     for k in range(N)]
+            obs.prediction = Prediction(PredictionType.DETERMINISTIC,
+                                        modes=[steps], probabilities=[1.0])
+            obs.last_trajectory_update_time = msg.stamp
+            obstacles.append(obs)
+
+        self.data.dynamic_obstacles = ensure_obstacle_size(
+            obstacles, self.state, self.settings["max_obstacles"], N, dt,
+            probabilistic=self.settings["probabilistic"]["enable"])
+
+    # -- FSM tick (jules :258-404) -----------------------------------------
+    def tick(self, external_obstacles=None) -> MPCMetrics:
+        t_start = self.clock()
+        self.data.planning_start_time = t_start
+        fsm = self.fsm
+        output = None
+        communicated = False
+
+        if fsm == PlannerState.TIMER_STARTUP:
+            self.fsm = PlannerState.WAITING_FOR_FIRST_EGO_POSE
+        elif fsm == PlannerState.WAITING_FOR_FIRST_EGO_POSE:
+            if self.state.valid_data() or self._pose_received:
+                self.fsm = PlannerState.INITIALIZING_OBSTACLES
+        elif fsm == PlannerState.INITIALIZING_OBSTACLES:
+            self.prepare_obstacle_data(external_obstacles)
+            self.fsm = (PlannerState.WAITING_FOR_TRAJECTORY_DATA
+                        if self._peer_namespaces else PlannerState.PLANNING_ACTIVE)
+        elif fsm == PlannerState.WAITING_FOR_TRAJECTORY_DATA:
+            # Plan conservatively while waiting; peers are dummies until valid
+            output, communicated = self._plan_cycle(external_obstacles)
+            if self._have_all_peer_trajectories():
+                self.fsm = PlannerState.PLANNING_ACTIVE
+        elif fsm == PlannerState.PLANNING_ACTIVE:
+            output, communicated = self._plan_cycle(external_obstacles)
+            if self.planner.is_objective_reached(self.state, self.data):
+                self.fsm = PlannerState.JUST_REACHED_GOAL
+        elif fsm == PlannerState.JUST_REACHED_GOAL:
+            self.last_command = (
+                -abs(self.settings["deceleration_at_infeasible"]), 0.0)
+            if abs(self.state.get("v")) < 0.05:
+                self.fsm = PlannerState.GOAL_REACHED
+        elif fsm == PlannerState.GOAL_REACHED:
+            self.last_command = (0.0, 0.0)
+        elif fsm == PlannerState.RESETTING:
+            self.planner.reset(self.state, self.data)
+            self.comm = CommunicationState()
+            self._peer_trajectories.clear()
+            self._validated_peers.clear()
+            self.fsm = PlannerState.TIMER_STARTUP
+
+        m = MPCMetrics(
+            stamp=t_start, robot_ns=self.ns, planner_state=self.fsm.name,
+            velocity=self.state.get("v"),
+            position_x=self.state.get("x"), position_y=self.state.get("y"),
+            planning_time_ms=(self.clock() - t_start) * 1e3,
+            communicated=communicated,
+            communication_trigger=self.comm.trigger_reason.name,
+        )
+        if output is not None:
+            m.solver_success = output.success
+            m.solver_exit_code = output.exit_code
+            m.objective = output.objective
+            m.selected_topology_id = output.selected_topology_id
+            m.selected_planner_index = output.selected_planner_index
+            m.used_guidance = output.used_guidance
+            m.num_guidance_found = output.num_of_guidance_found
+            m.topology_changed = output.topology_changed
+        self.metrics.add(m)
+        return m
+
+    def _plan_cycle(self, external_obstacles):
+        """prepare -> solve -> command -> communicate (jules :800-1330)."""
+        self.prepare_obstacle_data(external_obstacles)
+        output = self.planner.solve_mpc(self.state, self.data)
+
+        if output.success:
+            a = self.planner.get_solution(0, "a")
+            w = self.planner.get_solution(0, "w")
+            self.last_command = (a, w)
+            traj = np.asarray([p for p in output.trajectory.positions])
+            oris = np.asarray(output.trajectory.orientations)
+        else:
+            # Braking fallback: command + braking trajectory for peers
+            # (jules :1169-1218)
+            self.last_command = (
+                -abs(self.settings["deceleration_at_infeasible"]), 0.0)
+            traj, oris = self._braking_trajectory()
+
+        should_send = decide_communication(
+            self.fsm, output, self.comm, self.settings, self.clock(), traj)
+        if should_send:
+            msg = TrajectoryMessage(
+                robot_ns=self.ns, robot_index=self.index,
+                positions=traj, orientations=oris,
+                radius=self.settings["robot_radius"],
+                dt=self.planner.solver.dt, stamp=self.clock(),
+                trigger_reason=self.comm.trigger_reason,
+                is_braking=not output.success)
+            self.bus.publish(self.ns, msg)
+            self.comm.last_send_time = self.clock()
+            self.comm.last_communicated_trajectory = traj.copy()
+            self.comm.n_sent += 1
+        return output, should_send
+
+    def _braking_trajectory(self):
+        """Constant-heading braking rollout (jules :1169-1218)."""
+        N = self.planner.solver.N
+        dt = self.planner.solver.dt
+        x, y = self.state.get("x"), self.state.get("y")
+        psi, v = self.state.get("psi"), self.state.get("v")
+        a = -abs(self.settings["deceleration_at_infeasible"])
+        pos, ori = [], []
+        for _ in range(N):
+            pos.append([x, y])
+            ori.append(psi)
+            x += v * dt * np.cos(psi)
+            y += v * dt * np.sin(psi)
+            v = max(v + a * dt, 0.0)
+        return np.asarray(pos), np.asarray(ori)
+
+    def apply_command(self, dt: float) -> None:
+        """Integrate own dynamics with the last command (sim actuation)."""
+        import jax.numpy as jnp
+
+        a, w = self.last_command
+        u = np.zeros(self.model.nu)
+        u[0], u[1] = a, w
+        x_next = self.model.discrete_dynamics(
+            jnp.asarray(self.state.as_array()), jnp.asarray(u),
+            float(self.settings["integrator_step"]))
+        arr = np.array(x_next)
+        iv = self.model.state_index("v")
+        arr[iv] = max(arr[iv], 0.0)  # no reverse from braking
+        self.state.set_array(arr)
+
+
+class MultiRobotDriver:
+    """Synchronous multi-robot simulation loop (the Gazebo+launch-file role)."""
+
+    def __init__(self, agents: List[RobotAgent], clock=None):
+        self.agents = agents
+        namespaces = [a.ns for a in agents]
+        for a in agents:
+            a.set_peers(namespaces)
+        self._clock = clock
+
+    def run(self, n_cycles: int, obstacle_provider=None) -> MetricsLog:
+        log = MetricsLog()
+        dt = float(self.agents[0].settings["integrator_step"])
+        for cycle in range(n_cycles):
+            external = obstacle_provider(cycle) if obstacle_provider else None
+            for agent in self.agents:
+                m = agent.tick(external_obstacles=external)
+                log.add(m)
+            for agent in self.agents:
+                agent.apply_command(dt)
+            if self._clock is not None:
+                self._clock.t += dt
+            if all(a.fsm == PlannerState.GOAL_REACHED for a in self.agents):
+                break
+        return log
+
+    def all_reached_goal(self) -> bool:
+        return all(a.fsm == PlannerState.GOAL_REACHED for a in self.agents)

@@ -48,6 +48,7 @@ class SQPConfig(NamedTuple):
     regularization: str = "mirror"  # "mirror" | "levenberg" | "none"
     levenberg: float = 1e-3
     res_eq_tol: float = 1e-2  # failure promotion threshold (acados wrapper :176-182)
+    merit_eq_weight: float = 1e3  # infeasibility penalty in best-iterate merit
 
 
 class SQPResult(NamedTuple):
@@ -214,6 +215,16 @@ def make_sqp_solver(ocp, config: SQPConfig = SQPConfig(), dtype=jnp.float32):
     dyn_lin = mach.dyn_lin
     total_cost = mach.total_cost
 
+    def merit_of(Z, P):
+        """SQP merit: cost + infeasibility penalty (inf when non-finite)."""
+        f, _, _ = jax.vmap(dyn_lin)(Z[:-1], P[:-1])
+        eq_res = jnp.max(jnp.abs(f - Z[1:, nu:]))
+        cost = total_cost(Z, P)
+        finite = jnp.isfinite(cost) & jnp.all(jnp.isfinite(Z))
+        merit = jnp.where(finite, cost + config.merit_eq_weight * eq_res,
+                          jnp.inf)
+        return merit, cost, eq_res, finite
+
     @jax.jit
     def solve(all_params, xinit, z_init):
         """all_params: (N, npar); xinit: (nx,); z_init: (N+1, nvar) warmstart."""
@@ -222,21 +233,27 @@ def make_sqp_solver(ocp, config: SQPConfig = SQPConfig(), dtype=jnp.float32):
         Z0 = z_init.astype(dtype)
         xinit = xinit.astype(dtype)
 
-        def body(Z, _):
+        def body(carry, _):
+            Z, best_Z, best_merit = carry
             Z_new, sol = sqp_iteration(Z, P, xinit)
             # Guard: a NaN step (failed QP) keeps the previous iterate
             bad = jnp.any(jnp.isnan(Z_new))
             Z_new = jnp.where(bad, Z, Z_new)
-            return Z_new, (sol.comp, sol.eq_res)
+            # Best-iterate tracking: full-step SQP (acados FIXED_STEP) can cycle
+            # on nonconvex problems; keep the best-merit iterate so extra
+            # iterations are never worse.
+            merit, _, _, _ = merit_of(Z_new, P)
+            better = merit < best_merit
+            best_Z = jnp.where(better, Z_new, best_Z)
+            best_merit = jnp.where(better, merit, best_merit)
+            return (Z_new, best_Z, best_merit), (sol.comp, sol.eq_res)
 
-        Z, (comps, eqs) = jax.lax.scan(body, Z0, None, length=config.n_sqp)
+        merit0, _, _, _ = merit_of(Z0, P)
+        (Z_last, best_Z, _), (comps, eqs) = jax.lax.scan(
+            body, (Z0, Z0, merit0), None, length=config.n_sqp)
+        Z = best_Z
 
-        # Final residuals at the converged iterate
-        f, _, _ = jax.vmap(dyn_lin)(Z[:-1], P[:-1])
-        defect = f - Z[1:, nu:]
-        eq_res = jnp.max(jnp.abs(defect))
-        cost = total_cost(Z, P)
-        finite = jnp.isfinite(cost) & jnp.all(jnp.isfinite(Z))
+        merit, cost, eq_res, finite = merit_of(Z, P)
         success = (eq_res <= config.res_eq_tol) & finite
         exit_code = jnp.where(success, 1, 0)
         return SQPResult(z=Z, cost=cost, eq_res=eq_res, qp_comp=comps[-1],
@@ -279,6 +296,15 @@ def make_fleet_sqp_solver(ocp, config: SQPConfig = SQPConfig(),
                 w_max=config.w_max))(qp)
             return sol.z
 
+    def merit_of(Z, P):
+        f, _, _ = jax.vmap(jax.vmap(dyn_lin))(Z[:, :-1], P[:, :-1])
+        eq_res = jnp.max(jnp.abs(f - Z[:, 1:, nu:]), axis=(1, 2))
+        cost = jax.vmap(total_cost)(Z, P)
+        finite = jnp.isfinite(cost) & jnp.all(jnp.isfinite(Z), axis=(1, 2))
+        merit = jnp.where(finite, cost + config.merit_eq_weight * eq_res,
+                          jnp.inf)
+        return merit, cost, eq_res, finite
+
     @jax.jit
     def solve(all_params, xinit, z_init):
         P = jnp.concatenate(
@@ -286,21 +312,24 @@ def make_fleet_sqp_solver(ocp, config: SQPConfig = SQPConfig(),
         Z0 = z_init.astype(dtype)
         xinit_ = xinit.astype(dtype)
 
-        def body(Z, _):
+        def body(carry, _):
+            Z, best_Z, best_merit = carry
             qp = build_qp_v(Z, P, xinit_)
             dz = qp_solve_batch(qp)
             Z_new = Z + dz
             bad = jnp.any(jnp.isnan(Z_new), axis=(1, 2), keepdims=True)
             Z_new = jnp.where(bad, Z, Z_new)
-            return Z_new, None
+            merit, _, _, _ = merit_of(Z_new, P)
+            better = (merit < best_merit)[:, None, None]
+            best_Z = jnp.where(better, Z_new, best_Z)
+            best_merit = jnp.minimum(merit, best_merit)
+            return (Z_new, best_Z, best_merit), None
 
-        Z, _ = jax.lax.scan(body, Z0, None, length=config.n_sqp)
+        merit0, _, _, _ = merit_of(Z0, P)
+        (Z_last, Z, _), _ = jax.lax.scan(
+            body, (Z0, Z0, merit0), None, length=config.n_sqp)
 
-        f, _, _ = jax.vmap(jax.vmap(dyn_lin))(Z[:, :-1], P[:, :-1])
-        defect = f - Z[:, 1:, nu:]
-        eq_res = jnp.max(jnp.abs(defect), axis=(1, 2))
-        cost = jax.vmap(total_cost)(Z, P)
-        finite = jnp.isfinite(cost) & jnp.all(jnp.isfinite(Z), axis=(1, 2))
+        merit, cost, eq_res, finite = merit_of(Z, P)
         success = (eq_res <= config.res_eq_tol) & finite
         exit_code = jnp.where(success, 1, 0)
         return SQPResult(z=Z, cost=cost, eq_res=eq_res,

@@ -1,0 +1,213 @@
+"""Multi-robot coordination tests: FSM, event-triggered comms, interpolation,
+and a 2-robot head-on scenario with trajectory exchange (the reference's
+multi-robot jackalsimulator behavior, SURVEY §3.4)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from oscar_mpc_planner_mr_modification_tpu.factory import (
+    build_planner, configuration_goal_tmpc)
+from oscar_mpc_planner_mr_modification_tpu.multirobot import (
+    CommunicationTriggerReason, CommunicationTriggers, MultiRobotDriver,
+    RobotAgent)
+from oscar_mpc_planner_mr_modification_tpu.multirobot.comms import (
+    CommunicationState, decide_communication)
+from oscar_mpc_planner_mr_modification_tpu.multirobot.driver import MessageBus
+from oscar_mpc_planner_mr_modification_tpu.multirobot.interpolation import (
+    collision_mask_gk, geometric_deviation,
+    interpolate_trajectory_by_elapsed_time)
+from oscar_mpc_planner_mr_modification_tpu.ops.sqp import SQPConfig
+from oscar_mpc_planner_mr_modification_tpu.types import (PlannerOutput,
+                                                         PlannerState)
+from oscar_mpc_planner_mr_modification_tpu.utils import default_settings
+
+
+# ---------------------------------------------------------------------------
+# Interpolation utilities
+# ---------------------------------------------------------------------------
+def test_interpolation_shifts_and_extrapolates():
+    N, dt = 10, 0.2
+    pos = np.stack([np.arange(N) * 0.4, np.zeros(N)], axis=1)  # 2 m/s in x
+    ori = np.zeros(N)
+    out = interpolate_trajectory_by_elapsed_time(
+        pos, ori, dt, elapsed=0.4, control_frequency=20.0,
+        robot_max_velocity=2.5, robot_max_angular_velocity=2.5)
+    assert out is not None
+    p2, o2 = out
+    assert len(p2) == N
+    # Shifted by exactly 2 steps: starts at 0.8
+    np.testing.assert_allclose(p2[0], [0.8, 0.0], atol=1e-9)
+    # Tail extrapolated at the same velocity
+    np.testing.assert_allclose(p2[-1], [0.8 + (N - 1) * 0.4, 0.0], atol=1e-9)
+
+
+def test_interpolation_respects_velocity_clamp():
+    N, dt = 6, 0.2
+    pos = np.stack([np.arange(N) * 2.0, np.zeros(N)], axis=1)  # 10 m/s!
+    ori = np.zeros(N)
+    out = interpolate_trajectory_by_elapsed_time(
+        pos, ori, dt, elapsed=0.4, control_frequency=20.0,
+        robot_max_velocity=2.5, robot_max_angular_velocity=2.5)
+    p2, _ = out
+    # Extrapolated tail step limited to 2.5 m/s * dt = 0.5 m
+    tail_step = np.linalg.norm(p2[-1] - p2[-2])
+    assert tail_step <= 0.5 + 1e-9
+
+
+def test_interpolation_fresh_and_stale_early_outs():
+    N, dt = 5, 0.2
+    pos = np.zeros((N, 2))
+    ori = np.zeros(N)
+    assert interpolate_trajectory_by_elapsed_time(
+        pos, ori, dt, 0.01, 20.0, 2.5, 2.5) is None  # fresh
+    assert interpolate_trajectory_by_elapsed_time(
+        pos, ori, dt, 10.0, 20.0, 2.5, 2.5) is None  # too stale
+
+
+def test_collision_mask_and_deviation():
+    t = np.linspace(0, 1, 20)
+    a = np.stack([t, np.zeros_like(t)], axis=1)
+    b = np.stack([t, 0.1 * np.ones_like(t)], axis=1)
+    far = np.stack([t, 5.0 * np.ones_like(t)], axis=1)
+    assert collision_mask_gk(a, b, sigma=0.65) > collision_mask_gk(a, far, 0.65)
+    assert abs(geometric_deviation(a, b) - 0.1) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Communication triggers
+# ---------------------------------------------------------------------------
+def make_output(success=True, topo=1, changed=False):
+    out = PlannerOutput()
+    out.success = success
+    out.selected_topology_id = topo
+    out.topology_changed = changed
+    return out
+
+
+def test_trigger_priorities():
+    settings = default_settings()
+    n_paths = settings["JULES"]["n_paths"]
+    comm = CommunicationState()
+    traj = np.zeros((10, 2))
+
+    # Infeasible wins
+    assert decide_communication(PlannerState.PLANNING_ACTIVE,
+                                make_output(success=False), comm, settings,
+                                0.0, traj)
+    assert comm.trigger_reason == CommunicationTriggerReason.INFEASIBLE
+
+    # Non-guided homology fail
+    assert decide_communication(PlannerState.PLANNING_ACTIVE,
+                                make_output(topo=2 * n_paths), comm, settings,
+                                0.0, traj)
+    assert comm.trigger_reason == (
+        CommunicationTriggerReason.NON_GUIDED_HOMOLOGY_FAIL)
+
+    # Topology change (guided -> guided)
+    assert decide_communication(PlannerState.PLANNING_ACTIVE,
+                                make_output(topo=2, changed=True), comm,
+                                settings, 0.0, traj)
+    assert comm.trigger_reason == CommunicationTriggerReason.TOPOLOGY_CHANGE
+
+    # First-ever send: TIME heartbeat fires (last_send_time None)
+    assert decide_communication(PlannerState.PLANNING_ACTIVE, make_output(),
+                                comm, settings, 0.0, traj)
+    assert comm.trigger_reason == CommunicationTriggerReason.TIME
+
+    # After a send with identical trajectory and recent time: no trigger
+    comm.last_send_time = 0.0
+    comm.last_communicated_trajectory = traj.copy()
+    assert not decide_communication(PlannerState.PLANNING_ACTIVE, make_output(),
+                                    comm, settings, 0.5, traj)
+    assert comm.trigger_reason == CommunicationTriggerReason.NO_COMMUNICATION
+
+    # Geometric deviation fires
+    traj2 = traj.copy()
+    traj2[5] += 6.0
+    assert decide_communication(PlannerState.PLANNING_ACTIVE, make_output(),
+                                comm, settings, 0.5, traj2)
+    assert comm.trigger_reason == CommunicationTriggerReason.GEOMETRIC
+
+    # Heartbeat fires after the period
+    assert decide_communication(PlannerState.PLANNING_ACTIVE, make_output(),
+                                comm, settings, 2.5, traj)
+    assert comm.trigger_reason == CommunicationTriggerReason.TIME
+
+    # Silent states never communicate
+    assert not decide_communication(PlannerState.GOAL_REACHED,
+                                    make_output(success=False), comm, settings,
+                                    99.0, traj)
+
+
+# ---------------------------------------------------------------------------
+# Two-robot head-on scenario
+# ---------------------------------------------------------------------------
+class FakeClock:
+    def __init__(self):
+        self.t = 0.0
+
+    def __call__(self):
+        return self.t
+
+
+def make_agent(ns, index, bus, clock, start, goal, N=15):
+    settings = default_settings(
+        N=N, max_obstacles=2,
+        weights={"goal": 5.0},
+        guidance={"n_samples": 30, "longitudinal_goals": 2, "vertical_goals": 3},
+    )
+    model, modules = configuration_goal_tmpc(settings)
+    planner = build_planner(model, modules, settings, dtype=jnp.float64,
+                            sqp_config=SQPConfig(n_sqp=5, n_qp_iter=10),
+                            clock=clock)
+    return RobotAgent(ns, index, planner, model, settings,
+                      goal=np.asarray(goal, dtype=float), bus=bus, clock=clock,
+                      start_pose=start)
+
+
+def test_two_robot_head_on_exchange():
+    clock = FakeClock()
+    bus = MessageBus()
+    # Note: goals away from the origin - the reference's goal cost normalizes
+    # by ||goal||^2 (goal_module.py:34), so origin goals degenerate.
+    # Lanes separated by 1.2 m so neither goal sits inside the other robot's
+    # swept volume (combined radius 0.65 m)
+    a1 = make_agent("jackal1", 0, bus, clock, (2.0, 0.0, 0.0), (10.0, 0.0))
+    a2 = make_agent("jackal2", 1, bus, clock, (10.0, 1.2, np.pi), (2.0, 1.2))
+    driver = MultiRobotDriver([a1, a2], clock=clock)
+    log = driver.run(n_cycles=60)
+
+    # Both robots progressed toward their goals
+    assert a1.state.get("x") > 7.0, f"robot1 stuck: {a1.state}"
+    assert a2.state.get("x") < 5.0, f"robot2 stuck: {a2.state}"
+
+    # They exchanged trajectories and never collided
+    assert a1.comm.n_sent > 0 and a2.comm.n_sent > 0
+    p1 = np.array([[m.position_x, m.position_y]
+                   for m in log.records["jackal1"]])
+    p2 = np.array([[m.position_x, m.position_y]
+                   for m in log.records["jackal2"]])
+    n = min(len(p1), len(p2))
+    dists = np.linalg.norm(p1[:n] - p2[:n], axis=1)
+    assert dists.min() > 2 * 0.325, f"collision: min dist {dists.min():.3f}"
+
+    # Event-triggered communication saves bandwidth vs every-cycle broadcast
+    rate1 = log.communication_rate("jackal1")
+    assert 0.0 < rate1 < 0.9, f"communication rate {rate1}"
+
+
+def test_fsm_startup_sequence():
+    clock = FakeClock()
+    bus = MessageBus()
+    a1 = make_agent("r1", 0, bus, clock, (0.0, 0.0, 0.0), (5.0, 0.0))
+    a1.set_peers(["r1", "r2"])
+    states = []
+    for _ in range(4):
+        a1.tick()
+        states.append(a1.fsm)
+        clock.t += 0.2
+    assert states[0] == PlannerState.WAITING_FOR_FIRST_EGO_POSE
+    assert states[1] == PlannerState.INITIALIZING_OBSTACLES
+    assert states[2] == PlannerState.WAITING_FOR_TRAJECTORY_DATA
