@@ -60,8 +60,12 @@ class GuidanceConfig:
 
 
 class GlobalGuidance:
-    def __init__(self, config: Optional[GuidanceConfig] = None):
+    def __init__(self, config: Optional[GuidanceConfig] = None,
+                 backend: str = "auto"):
+        """backend: "python" (portable reference), "cpp" (native PRM via
+        ctypes, guidance/cpp_backend.py), or "auto" (cpp when buildable)."""
         self.config = config or GuidanceConfig()
+        self.backend = backend
         self.rng = np.random.default_rng(
             self.config.seed if self.config.seed >= 0 else None)
         # Inputs per cycle
@@ -171,6 +175,39 @@ class GlobalGuidance:
     def update(self) -> bool:
         """Run the Visibility-PRM search and extract homotopy-distinct guidance
         trajectories. Returns True if at least one was found."""
+        if self.backend in ("cpp", "auto"):
+            from . import cpp_backend
+
+            if cpp_backend.available():
+                return self._update_native(cpp_backend)
+            if self.backend == "cpp":
+                raise RuntimeError("native PRM backend requested but unavailable")
+        return self._update_python()
+
+    def _update_native(self, cpp_backend) -> bool:
+        """Candidate generation in C++ (native/prm.cpp); selection, smoothing
+        and cross-cycle class bookkeeping stay identical to the Python path."""
+        cfg = self.config
+        self.trajectories = []
+        if not self._goals:
+            return False
+        goals = np.array([[g.pos[0], g.pos[1], g.cost] for g in self._goals])
+        obs = self._obstacle_trajs[:, : cfg.N + 1] if len(
+            self._obstacle_trajs) else np.zeros((0, cfg.N + 1, 2))
+        paths, sigs, costs = cpp_backend.prm_search(
+            self._start, goals, obs, self._obstacle_radii, cfg.dt, cfg.N + 1,
+            cfg.n_samples,
+            seed=(self.config.seed if self.config.seed >= 0
+                  else int(self.rng.integers(0, 2**63))),
+            max_velocity=cfg.max_velocity,
+            length_weight=cfg.selection_weight_length,
+            pass_threshold=cfg.pass_threshold,
+            max_paths_enum=cfg.max_paths_to_enumerate,
+            n_out=cfg.n_paths)
+        candidates = [(costs[i], paths[i], sigs[i]) for i in range(len(paths))]
+        return self._finalize_candidates(candidates)
+
+    def _update_python(self) -> bool:
         cfg = self.config
         T_horizon = cfg.N * cfg.dt
         self.trajectories = []
@@ -243,7 +280,13 @@ class GlobalGuidance:
             length = float(np.sum(np.linalg.norm(np.diff(pts, axis=0), axis=1)))
             cost = goal_cost + cfg.selection_weight_length * length
             candidates.append((cost, sampled, sig))
-        candidates.sort(key=lambda c: c[0])
+        return self._finalize_candidates(candidates)
+
+    def _finalize_candidates(self, candidates) -> bool:
+        """Class dedup, smoothing, consistency flags and stable class ids -
+        shared by the Python and native candidate generators."""
+        cfg = self.config
+        candidates = sorted(candidates, key=lambda c: c[0])
 
         # Previously selected path: recompute its signature on current obstacles
         prev_sig = None

@@ -219,3 +219,33 @@ def test_tmpc_parallel_objectives_and_selection():
                       if opt.last_exit_codes[p] == 1]
     assert np.isclose(min(feasible_costs), opt.last_objectives[opt.best_planner_index])
     assert out.num_of_guidance_found >= 1
+
+
+def test_native_prm_backend_matches_python():
+    """The C++ PRM (native/prm.cpp via ctypes) finds homotopy-distinct,
+    collision-free guidance like the Python backend."""
+    from oscar_mpc_planner_mr_modification_tpu.guidance import cpp_backend
+
+    if not cpp_backend.available():
+        pytest.skip("native toolchain unavailable")
+
+    for backend in ("cpp", "python"):
+        cfg = GuidanceConfig(N=20, dt=0.2, n_paths=4, n_samples=40, seed=1)
+        gg = GlobalGuidance(cfg, backend=backend)
+        gg.set_start(np.zeros(2), 0.0, 1.0)
+        gg.set_goals([Goal(np.array([6.0, 0.0]), 0.0),
+                      Goal(np.array([6.0, 1.5]), 1.5),
+                      Goal(np.array([6.0, -1.5]), 1.5)])
+        traj = np.tile(np.array([3.0, 0.0]), (21, 1))
+        gg.load_obstacles(traj[None], np.array([0.8]))
+        assert gg.update(), backend
+        n = gg.number_of_guidance_trajectories()
+        assert n >= 2, f"{backend}: {n} classes"
+        sigs = [gg.get_guidance_trajectory(i).signature for i in range(n)]
+        for i in range(n):
+            for j in range(i + 1, n):
+                assert not same_homotopy_class(sigs[i], sigs[j])
+            d = np.linalg.norm(
+                gg.get_guidance_trajectory(i).positions - np.array([3.0, 0.0]),
+                axis=1)
+            assert d.min() > 0.45, f"{backend}: too close {d.min():.2f}"
