@@ -136,3 +136,47 @@ def build_ocp(model, modules, settings) -> OCP:
         cost_stage=cost_stage, cost_terminal=cost_terminal, ineq=ineq,
         dynamics=dynamics, lh=lh, uh=uh, lbz=lbz, ubz=ubz,
     )
+
+
+def save_maps(ocp: OCP, directory: str) -> dict:
+    """Emit the generated-artifact triple {parameter_map, model_map,
+    solver_settings} as YAML.
+
+    This is the contract the reference's online C++ layer compiles against
+    (generate_solver.py:34-46: parameter_map.yaml name->index, model_map.yaml
+    name->[x|u, index, lb, ub], solver_settings.yaml {N, nx, nu, nvar, npar}).
+    Our runtime binds names directly through the registry objects, but the files
+    keep the artifact surface inspectable and interoperable.
+    """
+    import os
+
+    import yaml
+
+    os.makedirs(directory, exist_ok=True)
+    parameter_map = ocp.registry.save_map()
+
+    model = ocp.model
+    model_map = {}
+    for i, name in enumerate(model.states):
+        lb, ub, _ = model.get_bounds(name)
+        model_map[name] = ["x", model.nu + i, float(lb), float(ub)]
+    for i, name in enumerate(model.inputs):
+        lb, ub, _ = model.get_bounds(name)
+        model_map[name] = ["u", i, float(lb), float(ub)]
+
+    solver_settings = {
+        "N": ocp.N, "nx": ocp.nx, "nu": ocp.nu, "nvar": ocp.nvar,
+        "npar": ocp.npar, "nh": ocp.nh,
+        "integrator_step": ocp.dt,
+        "solver": "tpu_sqp_ip",
+    }
+
+    paths = {}
+    for name, payload in (("parameter_map", parameter_map),
+                          ("model_map", model_map),
+                          ("solver_settings", solver_settings)):
+        path = os.path.join(directory, f"{name}.yaml")
+        with open(path, "w") as f:
+            yaml.safe_dump(payload, f, sort_keys=False)
+        paths[name] = path
+    return paths
