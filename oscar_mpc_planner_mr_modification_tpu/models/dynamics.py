@@ -192,8 +192,11 @@ def _ca_spline_update(x, x_integrated, ctx):
     vt_t = dpx * tx + dpy * ty
     vn_t = dpx * ty - dpy * tx
 
-    R = 1.0 / path.get_curvature(s)
-    R = jnp.maximum(R, 1e5)  # reference caps at fmax(R, 1e5) (solver_model.py:266-267)
+    # Reference floors R at 1e5 via fmax(1/curvature, 1e5) (solver_model.py:266-267);
+    # we bound R by flooring the curvature instead: identical limit behavior
+    # (theta -> vt/R, s + R*theta -> s + vt) but no inf*0 = NaN on exactly
+    # straight splines (curvature == 0).
+    R = 1.0 / jnp.maximum(path.get_curvature(s), 1e-5)
 
     theta = jnp.arctan2(vt_t, R - contour_error - vn_t)
     return jnp.concatenate([x_integrated, jnp.reshape(s + R * theta, (1,))])
