@@ -32,8 +32,21 @@ class ScenarioOptimizer:
         self.n_samples = int(settings["scenario_constraints"].get("n_samples", 128))
         self.robot_radius = float(settings["robot_radius"])
         self.rng = np.random.default_rng(seed)
-        raw = make_sqp_solver(solver.ocp, solver.config, dtype=solver.dtype)
-        self._batched_solve = jax.jit(jax.vmap(raw, in_axes=(0, None, 0)))
+        if (jax.devices()[0].platform == "tpu"
+                and solver.dtype == jnp.float32):
+            from ..ops.sqp import make_fleet_sqp_solver
+
+            fleet = make_fleet_sqp_solver(solver.ocp, solver.config,
+                                          dtype=solver.dtype, backend="pallas")
+
+            def batched(params, xinit, z_init):
+                P = params.shape[0]
+                return fleet(params, jnp.tile(xinit[None], (P, 1)), z_init)
+
+            self._batched_solve = batched
+        else:
+            raw = make_sqp_solver(solver.ocp, solver.config, dtype=solver.dtype)
+            self._batched_solve = jax.jit(jax.vmap(raw, in_axes=(0, None, 0)))
         reg = solver.ocp.registry
         self._a1_idx = np.array([
             reg.index(f"disc_0_scenario_constraint_{i}_a1")

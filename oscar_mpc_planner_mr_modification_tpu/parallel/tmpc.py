@@ -64,9 +64,24 @@ class TMPCOptimizer:
         )
         self.global_guidance = GlobalGuidance(gcfg)
 
-        # Batched solver: vmap over (params, warmstart); shared xinit
-        raw = make_sqp_solver(solver.ocp, solver.config, dtype=solver.dtype)
-        self._batched_solve = jax.jit(jax.vmap(raw, in_axes=(0, None, 0)))
+        # Batched solver over the planner axis. On TPU at f32 the fused Pallas
+        # fleet path is used; elsewhere a vmapped XLA solve.
+        backend = "pallas" if (jax.devices()[0].platform == "tpu"
+                               and solver.dtype == jnp.float32) else "xla"
+        if backend == "pallas":
+            from ..ops.sqp import make_fleet_sqp_solver
+
+            fleet = make_fleet_sqp_solver(solver.ocp, solver.config,
+                                          dtype=solver.dtype, backend="pallas")
+
+            def batched(params, xinit, z_init):
+                P = params.shape[0]
+                return fleet(params, jnp.tile(xinit[None], (P, 1)), z_init)
+
+            self._batched_solve = batched
+        else:
+            raw = make_sqp_solver(solver.ocp, solver.config, dtype=solver.dtype)
+            self._batched_solve = jax.jit(jax.vmap(raw, in_axes=(0, None, 0)))
 
         # Parameter column indices
         reg = solver.ocp.registry
