@@ -59,3 +59,18 @@ def test_sim_environment_episode_completes():
     assert result.completed, f"episode failed: {result}"
     assert result.collisions == 0
     assert result.min_obstacle_distance > 0.6
+
+
+def test_roadmap_paths():
+    from oscar_mpc_planner_mr_modification_tpu.sim.roadmap import (
+        curve_path, path_with_bounds, s_bend_path, straight_path)
+
+    p = straight_path(length=20.0, velocity=1.5)
+    assert p.has_velocity() and p.has_distance()
+    assert abs(p.s[-1] - 20.0) < 1e-9
+    c = curve_path(radius=5.0)
+    assert abs(np.hypot(c.x[0] - 0.0, c.y[0] - 0.0)) < 1e-9
+    s = s_bend_path(amplitude=2.0)
+    assert max(s.y) > 1.9 and min(s.y) < -1.9
+    left, right = path_with_bounds(p, width=6.0)
+    assert abs(left.y[0] - 3.0) < 1e-9 and abs(right.y[0] + 3.0) < 1e-9
