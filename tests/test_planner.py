@@ -172,3 +172,32 @@ def test_ensure_obstacle_size_pads_and_prunes():
     kept2 = ensure_obstacle_size(kept[:1], state, 3, 20, 0.2)
     assert len(kept2) == 3
     assert np.linalg.norm(kept2[-1].position) > 100
+
+
+def test_shift_forward_warmstart_semantics():
+    """acados_solver_interface.cpp:346-376: [state, x2, ..., x_{N-1}, x_{N-1}]."""
+    planner, model, settings = make_planner()
+    s = planner.solver
+    # Fabricate an output trajectory
+    s._output_z = np.arange((s.N + 1) * s.nvar, dtype=float).reshape(
+        s.N + 1, s.nvar)
+    from oscar_mpc_planner_mr_modification_tpu.solver import State
+
+    state = State(model)
+    state.set("x", -1.0)
+    state.set("v", 0.7)
+    s.initialize_warmstart(state, shift_forward=True)
+    # k=0: states from current state, inputs from output stage 0
+    assert s.get_ego_prediction(0, "x") == -1.0
+    assert s.get_ego_prediction(0, "v") == 0.7
+    # 0 < k < N-1: from output k+1
+    for name in ("x", "y", "v", "a", "w"):
+        assert s.get_ego_prediction(3, name) == s.get_output(4, name)
+    # k = N-1 and k = N: from output N-1
+    for k in (s.N - 1, s.N):
+        assert s.get_ego_prediction(k, "x") == s.get_output(s.N - 1, "x")
+
+    # Hold (shift=False): identical to output
+    s.initialize_warmstart(state, shift_forward=False)
+    for k in (0, 5, s.N):
+        assert s.get_ego_prediction(k, "y") == s.get_output(k, "y")

@@ -182,3 +182,50 @@ def test_fleet_solver_matches_per_instance():
     for b in range(Bt):
         np.testing.assert_allclose(np.asarray(out.z[b, :-1, :2]),
                                    np.asarray(ref.z[:-1, :2]), atol=1e-4)
+
+
+def contouring_setup(N=15, n_obstacles=2):
+    """BASELINE config-2 flavor: MPCC contouring + ellipsoidal obstacles on a
+    straight reference spline."""
+    from oscar_mpc_planner_mr_modification_tpu.factory import configuration_basic
+    from oscar_mpc_planner_mr_modification_tpu.models import (
+        ContouringSecondOrderUnicycleModel)
+
+    settings = default_settings(N=N, max_obstacles=n_obstacles)
+    model, mm = configuration_basic(settings)
+    ocp = build_ocp(model, mm, settings)
+    idx = ocp.registry.save_map()
+    P = np.zeros((N, ocp.npar))
+    w = settings["weights"]
+    for name in ("acceleration", "angular_velocity", "velocity",
+                 "reference_velocity", "contour", "lag", "terminal_angle",
+                 "terminal_contouring"):
+        P[:, idx[name]] = w[name]
+    for i in range(settings["contouring"]["num_segments"]):
+        P[:, idx[f"spline_x{i}_c"]] = 1.0  # straight path x(s)=s
+        P[:, idx[f"spline{i}_start"]] = 5.0 * i
+    P[:, idx["ego_disc_radius"]] = 0.325
+    for i, (ox, oy) in enumerate([(2.5, 0.3), (4.5, -0.4)][:n_obstacles]):
+        P[:, idx[f"ellipsoid_obst_{i}_x"]] = ox
+        P[:, idx[f"ellipsoid_obst_{i}_y"]] = oy
+        P[:, idx[f"ellipsoid_obst_{i}_chi"]] = 1.0
+        P[:, idx[f"ellipsoid_obst_{i}_r"]] = 0.3
+    x0 = np.array([0.0, 0.0, 0.0, 1.0, 0.0])
+    z_init = np.zeros((N + 1, ocp.nvar))
+    z_init[:, ocp.nu:] = x0
+    return ocp, P, x0, z_init
+
+
+def test_contouring_config_matches_independent_solver():
+    N = 15
+    ocp, P, x0, z_init = contouring_setup(N=N)
+    solve = make_sqp_solver(ocp, SQPConfig(n_sqp=30, n_qp_iter=20,
+                                           mu_min=1e-10), dtype=jnp.float64)
+    result = solve(jnp.asarray(P), jnp.asarray(x0), jnp.asarray(z_init))
+    assert bool(result.success)
+
+    U_ref, cost_ref = scipy_single_shooting(ocp, P, x0, N)
+    U = np.asarray(result.z[:-1, : ocp.nu])
+    assert np.max(np.abs(U - U_ref)) < 1e-3, (
+        f"control error {np.max(np.abs(U - U_ref)):.2e}")
+    assert abs(float(result.cost) - cost_ref) < 1e-4 * max(1.0, abs(cost_ref))
