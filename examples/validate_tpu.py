@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""On-hardware validation: solution accuracy + throughput of the f32 TPU paths.
+
+Checks the BASELINE gates on the actual accelerator:
+1. config 1 (goal tracking + 3 ellipsoidal obstacles, N=20): the f32 Pallas
+   fleet solution vs an independently-converged XLA solve (more iterations,
+   tighter mu; on TPU f64 truncates to f32, so the true-f64 cross-check lives in
+   the CPU test suite) - control error must be <= 1e-3;
+2. config 2 flavor (MPCC contouring + ellipsoid): same check;
+3. a short throughput sample of the batched T-MPC step.
+
+Run: python examples/validate_tpu.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                                "tests"))
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from test_sqp import contouring_setup, goal_tracking_setup
+
+    from oscar_mpc_planner_mr_modification_tpu.ops.sqp import (
+        SQPConfig, make_fleet_sqp_solver, make_sqp_solver)
+
+    print(f"platform: {jax.devices()[0].platform}")
+    f32_cfg = SQPConfig(n_sqp=25, n_qp_iter=15, mu_min=1e-6, w_max=1e6,
+                        reg_eps=1e-4, regularization="gershgorin")
+
+    for name, setup in (("goal+3obstacles", goal_tracking_setup),
+                        ("contouring+ellipsoid", lambda N: contouring_setup(N=N))):
+        N = 20 if name.startswith("goal") else 15
+        ocp, P, x0, z_init = setup(N)
+        fleet = make_fleet_sqp_solver(ocp, f32_cfg, jnp.float32,
+                                      backend="pallas"
+                                      if jax.devices()[0].platform == "tpu"
+                                      else "xla")
+        B = 4
+        out = fleet(jnp.asarray(np.tile(P[None], (B, 1, 1)), jnp.float32),
+                    jnp.asarray(np.tile(x0[None], (B, 1)), jnp.float32),
+                    jnp.asarray(np.tile(z_init[None], (B, 1, 1)), jnp.float32))
+        U32 = np.asarray(out.z)[0][:-1, : ocp.nu]
+
+        # Independently-converged XLA reference (note: on TPU, float64 is
+        # truncated to f32 - the exact-f64 parity check is in tests/test_sqp.py)
+        ref_cfg = SQPConfig(n_sqp=30, n_qp_iter=20, mu_min=1e-9)
+        ref = make_sqp_solver(ocp, ref_cfg, dtype=jnp.float64)(
+            jnp.asarray(P), jnp.asarray(x0), jnp.asarray(z_init))
+        U64 = np.asarray(ref.z)[:-1, : ocp.nu]
+        err = float(np.max(np.abs(U32 - U64)))
+        status = "PASS" if err <= 1e-3 else "FAIL"
+        print(f"[{status}] {name}: pallas vs converged-XLA control error = {err:.2e} "
+              f"(gate 1e-3), success={bool(out.success[0])}")
+
+    # Throughput sample
+    from oscar_mpc_planner_mr_modification_tpu.benchmarks import (
+        build_tmpc_fleet, tmpc_bench_ocp)
+    from oscar_mpc_planner_mr_modification_tpu.parallel.batch import (
+        make_batched_tmpc_step)
+
+    ocp, settings = tmpc_bench_ocp(N=20, n_paths=8)
+    step = make_batched_tmpc_step(
+        ocp, SQPConfig(n_sqp=10, n_qp_iter=15, mu_min=1e-6, w_max=1e6,
+                       reg_eps=1e-4, regularization="gershgorin"),
+        dtype=jnp.float32)
+    B = 512
+    args = tuple(map(jnp.asarray, build_tmpc_fleet(ocp, settings, B)))
+    out = step(*args)
+    float(jnp.sum(out.best_cost))
+    ts = []
+    for i in range(4):
+        a2 = (args[0] + 1e-6 * i, args[1], args[2], args[3])
+        t0 = time.perf_counter()
+        out = step(*a2)
+        float(jnp.sum(out.best_cost))
+        ts.append(time.perf_counter() - t0)
+    print(f"throughput sample: {B / np.median(ts):.0f} T-MPC plans/s "
+          f"(success rate {float(np.mean(np.asarray(out.any_success))):.3f})")
+
+
+if __name__ == "__main__":
+    main()

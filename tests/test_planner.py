@@ -201,3 +201,43 @@ def test_shift_forward_warmstart_semantics():
     s.initialize_warmstart(state, shift_forward=False)
     for k in (0, 5, s.N):
         assert s.get_ego_prediction(k, "y") == s.get_output(k, "y")
+
+
+def test_contouring_road_constraints_feed_linearized():
+    """Contouring road halfspaces (contouring.cpp:183-237) populate
+    module_data.static_obstacles and gate the corridor."""
+    from oscar_mpc_planner_mr_modification_tpu.factory import (
+        configuration_no_obstacles)
+    from oscar_mpc_planner_mr_modification_tpu.solver import build_ocp, Solver
+    from oscar_mpc_planner_mr_modification_tpu.types import ModuleData
+
+    settings = default_settings(N=10)
+    settings["contouring"]["add_road_constraints"] = True
+    model, mm = configuration_no_obstacles(settings)
+    ocp = build_ocp(model, mm, settings)
+    solver = Solver(ocp, settings, dtype=jnp.float64,
+                    sqp_config=SQPConfig(n_sqp=4, n_qp_iter=10))
+    from oscar_mpc_planner_mr_modification_tpu.planner import Planner
+
+    planner = Planner(solver, mm, settings)
+    data = RealTimeData()
+    data.robot_area = define_robot_area(0.65, 0.65, 1)
+    data.reference_path.x = list(np.linspace(0, 20, 20))
+    data.reference_path.y = [0.0] * 20
+    planner.on_data_received(data, "reference_path")
+
+    from oscar_mpc_planner_mr_modification_tpu.solver import State
+
+    state = State(model)
+    state.set("v", 1.0)
+    # Prime the warmstart so road constraints have stage positions
+    solver.initialize_with_braking(state)
+    md = ModuleData()
+    mm.update_all(state, data, md)
+    assert md.static_obstacles is not None
+    assert len(md.static_obstacles[1]) == 2  # left + right halfspace
+    # Road width 6, robot radius 0.325: center is feasible, 4m offset is not
+    for hs in md.static_obstacles[1]:
+        assert hs.A @ np.array([0.2, 0.0]) <= hs.b + 1e-9
+    assert any(hs.A @ np.array([0.2, 4.0]) > hs.b for hs in md.static_obstacles[1])
+    assert any(hs.A @ np.array([0.2, -4.0]) > hs.b for hs in md.static_obstacles[1])
