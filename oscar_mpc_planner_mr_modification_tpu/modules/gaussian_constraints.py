@@ -107,6 +107,11 @@ class GaussianConstraintModule(ConstraintModule):
                 sig_minor = np.zeros(N)
                 sig_major[1 : 1 + n] = [step.major_radius for step in mode[:n]]
                 sig_minor[1 : 1 + n] = [step.minor_radius for step in mode[:n]]
+            # Sigma floor (reference uses 0.001 for static obstacles,
+            # gaussian_constraints.cpp:31-79): sigma == 0 makes the constraint
+            # Jacobian NaN (d sqrt(u)/du at u=0), e.g. at the k=0 dummy stage.
+            sig_major = np.maximum(sig_major, 1e-3)
+            sig_minor = np.maximum(sig_minor, 1e-3)
             buf.set(f"gaussian_obst_{i}_major", sig_major)
             buf.set(f"gaussian_obst_{i}_minor", sig_minor)
             buf.set(f"gaussian_obst_{i}_risk", self.risk)

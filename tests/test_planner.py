@@ -241,3 +241,63 @@ def test_contouring_road_constraints_feed_linearized():
         assert hs.A @ np.array([0.2, 0.0]) <= hs.b + 1e-9
     assert any(hs.A @ np.array([0.2, 4.0]) > hs.b for hs in md.static_obstacles[1])
     assert any(hs.A @ np.array([0.2, -4.0]) > hs.b for hs in md.static_obstacles[1])
+
+
+def test_contouring_follows_curved_path():
+    """Closed-loop MPCC on an arc (validates the spline machinery beyond
+    straight lines: segment windows, blending, curvature)."""
+    from oscar_mpc_planner_mr_modification_tpu.factory import (
+        configuration_basic)
+    from oscar_mpc_planner_mr_modification_tpu.planner import Planner
+    from oscar_mpc_planner_mr_modification_tpu.sim.roadmap import curve_path
+    from oscar_mpc_planner_mr_modification_tpu.solver import (State, Solver,
+                                                              build_ocp)
+
+    N, dt = 15, 0.2
+    settings = default_settings(N=N, max_obstacles=2)
+    model, mm = configuration_basic(settings)
+    ocp = build_ocp(model, mm, settings)
+    solver = Solver(ocp, settings, dtype=jnp.float64,
+                    sqp_config=SQPConfig(n_sqp=6, n_qp_iter=12))
+    planner = Planner(solver, mm, settings)
+
+    # Sparse waypoints (reference roadmap style): the contouring module uploads
+    # a num_segments=5 window starting at the closest segment, so segments must
+    # be long enough for the window to cover the lookahead horizon
+    path = curve_path(radius=8.0, angle=np.pi / 2, n_points=10)
+    state = State(model)
+    state.set("x", path.x[0])
+    state.set("y", path.y[0])
+    state.set("psi", path.psi[0])
+    state.set("v", 1.0)
+
+    from oscar_mpc_planner_mr_modification_tpu.ops.spline_fit import (
+        CubicSpline2D)
+
+    ref_spline = CubicSpline2D(path.x, path.y)
+    max_lateral = 0.0
+    n_ok = 0
+    for step in range(45):
+        data = make_data(settings, state, [], N, dt)
+        data.reference_path = path
+        if step == 0:
+            planner.on_data_received(data, "reference_path")
+        out = planner.solve_mpc(state, data)
+        a = planner.get_solution(0, "a") if out.success else -3.0
+        w = planner.get_solution(0, "w") if out.success else 0.0
+        n_ok += out.success
+        x = np.array(model.discrete_dynamics(
+            jnp.asarray(state.as_array()), jnp.asarray([a, w]), dt))
+        state.set_array(x)
+        s = ref_spline.closest_s(state.get_position())
+        if s < ref_spline.length - 1.0:
+            max_lateral = max(max_lateral, float(np.linalg.norm(
+                ref_spline.at(s) - state.get_position())))
+        if planner.is_objective_reached(state, data):  # end of path (1.5 m)
+            break
+
+    assert n_ok >= 30, f"solved {n_ok}"
+    # Progressed well around the arc (arc length = 8 * pi/2 = 12.6 m)
+    s_final = ref_spline.closest_s(state.get_position())
+    assert s_final > 10.0, f"progress {s_final:.1f} m"
+    assert max_lateral < 0.2, f"lateral error {max_lateral:.2f} m"

@@ -249,3 +249,61 @@ def test_native_prm_backend_matches_python():
                 gg.get_guidance_trajectory(i).positions - np.array([3.0, 0.0]),
                 axis=1)
             assert d.min() > 0.45, f"{backend}: too close {d.min():.2f}"
+
+
+def test_tmpc_with_gaussian_submodule():
+    """T-MPC with the CC-MPC Gaussian chance constraints as the safety
+    submodule (configuration_tmpc(settings, GaussianConstraintModule))."""
+    from oscar_mpc_planner_mr_modification_tpu.factory import (
+        build_planner, configuration_tmpc)
+    from oscar_mpc_planner_mr_modification_tpu.modules import (
+        GaussianConstraintModule)
+    from oscar_mpc_planner_mr_modification_tpu.planner.data_preparation import (
+        propagate_all_uncertainty)
+
+    N, dt = 15, 0.2
+    clock = FakeClock()
+    settings = default_settings(
+        N=N, max_obstacles=2,
+        probabilistic={"enable": True, "risk": 0.05},
+        guidance={"n_samples": 30, "longitudinal_goals": 2, "vertical_goals": 3})
+    model, modules = configuration_tmpc(
+        settings, constraint_submodule=GaussianConstraintModule)
+    planner = build_planner(model, modules, settings, dtype=jnp.float64,
+                            sqp_config=SQPConfig(n_sqp=6, n_qp_iter=12),
+                            clock=clock)
+    state = State(model)
+    state.set("v", 0.8)
+    obstacle = np.array([4.0, 0.2])
+
+    min_dist = np.inf
+    n_ok = 0
+    for step in range(25):
+        data = RealTimeData()
+        data.robot_area = define_robot_area(0.65, 0.65, 1)
+        data.reference_path.x = list(np.linspace(0, 20, 25))
+        data.reference_path.y = [0.0] * 25
+        obs = DynamicObstacle(index=0, position=obstacle.copy(), radius=0.35)
+        obs.prediction = get_constant_velocity_prediction(
+            obstacle, np.zeros(2), dt, N, probabilistic=True)
+        data.dynamic_obstacles = ensure_obstacle_size(
+            [obs], state, settings["max_obstacles"], N, dt, probabilistic=True)
+        if step == 0:
+            planner.on_data_received(data, "reference_path")
+        out = planner.solve_mpc(state, data)
+        a = planner.get_solution(0, "a") if out.success else -3.0
+        w = planner.get_solution(0, "w") if out.success else 0.0
+        n_ok += out.success
+        x = np.array(model.discrete_dynamics(
+            jnp.asarray(state.as_array()), jnp.asarray([a, w]), dt))
+        x[3] = max(x[3], 0.0)
+        state.set_array(x)
+        clock.t += dt
+        min_dist = min(min_dist,
+                       np.linalg.norm(state.get_position() - obstacle))
+
+    assert n_ok >= 20, f"solved {n_ok}/25"
+    assert state.get("x") > 3.5
+    # Chance constraints with risk inflation keep a larger margin than the
+    # deterministic combined radius (0.675)
+    assert min_dist > 0.8, f"margin {min_dist:.2f}"
