@@ -133,3 +133,24 @@ def build_planner(model, modules, settings, dtype=jnp.float64,
 
             module.attach_optimizer(ScenarioOptimizer(solver, settings))
     return planner
+
+
+def configuration_bicycle(settings, curvature_aware: bool = False):
+    """Prius-like bicycle-model contouring configuration (the reference's
+    roadnavigation/vehicle use of BicycleModel2ndOrder, solver_model.py:302-437).
+    The model carries a slack input weighed by MPCBase (weights/slack)."""
+    from .models import (BicycleModel2ndOrder, BicycleModel2ndOrderCurvatureAware)
+
+    modules = ModuleManager()
+    model = (BicycleModel2ndOrderCurvatureAware() if curvature_aware
+             else BicycleModel2ndOrder())
+    base_module = modules.add_module(MPCBaseModule(settings))
+    base_module.weigh_variable("a", "acceleration")
+    base_module.weigh_variable("w", "angular_velocity")
+    base_module.weigh_variable("slack", "slack")
+    base_module.weigh_variable(
+        "v", ["velocity", "reference_velocity"],
+        cost_function=lambda x, w: w[0] * (x - w[1]) ** 2)
+    modules.add_module(ContouringModule(settings))
+    modules.add_module(EllipsoidConstraintModule(settings))
+    return model, modules

@@ -229,3 +229,49 @@ def test_contouring_config_matches_independent_solver():
     assert np.max(np.abs(U - U_ref)) < 1e-3, (
         f"control error {np.max(np.abs(U - U_ref)):.2e}")
     assert abs(float(result.cost) - cost_ref) < 1e-4 * max(1.0, abs(cost_ref))
+
+
+def test_bicycle_configuration_solves():
+    """nu=3 (bicycle/Prius) path: exercises the 3x3 SPD solves and the
+    slack-input plumbing end to end."""
+    from oscar_mpc_planner_mr_modification_tpu.factory import (
+        configuration_bicycle)
+
+    N = 15
+    settings = default_settings(N=N, max_obstacles=2)
+    model, mm = configuration_bicycle(settings)
+    ocp = build_ocp(model, mm, settings)
+    assert ocp.nu == 3 and ocp.nx == 6
+
+    idx = ocp.registry.save_map()
+    P = np.zeros((N, ocp.npar))
+    w = settings["weights"]
+    for name in ("acceleration", "angular_velocity", "slack", "velocity",
+                 "reference_velocity", "contour", "lag", "terminal_angle",
+                 "terminal_contouring"):
+        P[:, idx[name]] = w[name]
+    for i in range(settings["contouring"]["num_segments"]):
+        P[:, idx[f"spline_x{i}_c"]] = 1.0
+        P[:, idx[f"spline{i}_start"]] = 8.0 * i
+    P[:, idx["ego_disc_radius"]] = 1.0
+    for i, (ox, oy) in enumerate([(12.0, 1.0), (20.0, -1.5)]):
+        P[:, idx[f"ellipsoid_obst_{i}_x"]] = ox
+        P[:, idx[f"ellipsoid_obst_{i}_y"]] = oy
+        P[:, idx[f"ellipsoid_obst_{i}_chi"]] = 1.0
+        P[:, idx[f"ellipsoid_obst_{i}_r"]] = 0.5
+
+    x0 = np.array([0.0, 0.0, 0.0, 3.0, 0.0, 0.0])
+    z_init = np.zeros((N + 1, ocp.nvar))
+    z_init[:, ocp.nu:] = x0
+    solve = make_sqp_solver(ocp, SQPConfig(n_sqp=15, n_qp_iter=15),
+                            dtype=jnp.float64)
+    result = solve(jnp.asarray(P), jnp.asarray(x0), jnp.asarray(z_init))
+    assert bool(result.success), float(result.eq_res)
+    Z = np.asarray(result.z)
+    # Moves forward, steering within bounds, obstacles avoided
+    assert Z[-1, ocp.nu] > 5.0
+    assert np.all(np.abs(Z[:-1, ocp.nu + 4]) <= 0.55 + 1e-6)  # delta bounds
+    Pj = np.concatenate([P, P[-1:]], axis=0)
+    for k in range(1, N):
+        h = np.asarray(ocp.ineq(jnp.asarray(Z[k]), jnp.asarray(Pj[k])))
+        assert h.min() > 1.0 - 1e-6
