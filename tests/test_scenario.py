@@ -187,3 +187,49 @@ def test_curvature_aware_cost_and_dynamics():
     xn = np.asarray(model.discrete_dynamics(x0, jnp.zeros(2), 0.2, ctx=ctx))
     assert abs(xn[0] - 0.4) < 1e-9  # x advances v*dt
     assert abs(xn[4] - 1.4) < 1e-6  # straight path: s_dot = v
+
+
+def test_decomp_constraints_with_costmap_end_to_end():
+    """rosnavigation-style flow: occupancy points -> EllipsoidDecomp2D ->
+    per-stage halfspace parameters -> solve stays inside the free corridor."""
+    from oscar_mpc_planner_mr_modification_tpu.factory import (
+        configuration_no_obstacles)
+    from oscar_mpc_planner_mr_modification_tpu.modules import (
+        DecompConstraintModule)
+    from oscar_mpc_planner_mr_modification_tpu.planner import Planner
+    from oscar_mpc_planner_mr_modification_tpu.solver import (State, Solver,
+                                                              build_ocp)
+
+    N, dt = 12, 0.2
+    settings = default_settings(N=N, max_obstacles=2)
+    model, mm = configuration_no_obstacles(settings)
+    mm.add_module(DecompConstraintModule(settings))
+    ocp = build_ocp(model, mm, settings)
+    solver = Solver(ocp, settings, dtype=jnp.float64,
+                    sqp_config=SQPConfig(n_sqp=8, n_qp_iter=12))
+    planner = Planner(solver, mm, settings)
+
+    data = RealTimeData()
+    data.robot_area = define_robot_area(0.65, 0.65, 1)
+    data.reference_path.x = list(np.linspace(0, 15, 16))
+    data.reference_path.y = [0.0] * 16
+    # Occupied cells: two walls forming a corridor of half-width 1.0
+    xs = np.linspace(0, 8, 33)
+    wall = np.concatenate([
+        np.stack([xs, np.full_like(xs, 1.0)], axis=1),
+        np.stack([xs, np.full_like(xs, -1.0)], axis=1)])
+    data.costmap = wall
+    planner.on_data_received(data, "reference_path")
+
+    state = State(model)
+    state.set("v", 1.0)
+    out = planner.solve_mpc(state, data)
+    assert out.success
+
+    dmod = next(m for m in mm if isinstance(m, DecompConstraintModule))
+    # Decomp produced non-dummy halfspaces
+    assert dmod._b is not None and np.any(dmod._b[0, 1:] < 999.0)
+    # The plan stays within the corridor (plus robot radius margin inside)
+    traj = np.asarray(out.trajectory.positions)
+    assert np.all(np.abs(traj[:, 1]) < 1.0)
+    assert traj[-1, 0] > 1.5  # still makes progress down the corridor
