@@ -67,6 +67,26 @@ def _mirror_regularize(H, eps):
     return jnp.einsum("...ij,...j,...kj->...ik", V, w, V)
 
 
+def _f32_safe(config: SQPConfig, dtype) -> SQPConfig:
+    """Clamp interior-point constants to the f32 operating point when the solve
+    runs in single precision (which also happens silently when x64 is disabled:
+    jnp.float64 truncates to f32). The f64 defaults (mu_min 1e-9, w_max 1e14)
+    are below/above f32 resolution and break the QP iteration."""
+    if jnp.dtype(dtype).itemsize > 4:
+        try:
+            import jax
+
+            if jax.config.read("jax_enable_x64"):
+                return config
+        except Exception:
+            return config
+    return config._replace(
+        mu_min=max(config.mu_min, 1e-6),
+        w_max=min(config.w_max, 1e6),
+        reg_eps=max(config.reg_eps, 1e-5),
+    )
+
+
 def _make_machinery(ocp, config: SQPConfig, dtype):
     """Shared per-stage linearization machinery for the solver entry points."""
     N, nu, nx, nvar, nh = ocp.N, ocp.nu, ocp.nx, ocp.nvar, ocp.nh
@@ -209,6 +229,7 @@ def make_sqp_solver(ocp, config: SQPConfig = SQPConfig(), dtype=jnp.float32):
     pure JAX function: wrap in ``jax.vmap`` for the planner batch axes and in
     ``jax.jit`` (done here) for compilation.
     """
+    config = _f32_safe(config, dtype)
     mach = _make_machinery(ocp, config, dtype)
     nu = mach.nu
     sqp_iteration = mach.sqp_iteration
@@ -274,6 +295,7 @@ def make_fleet_sqp_solver(ocp, config: SQPConfig = SQPConfig(),
     Returns ``solve(all_params (B, N, npar), xinit (B, nx),
     z_init (B, N+1, nvar)) -> SQPResult`` with leading batch axis.
     """
+    config = _f32_safe(config, dtype)
     mach = _make_machinery(ocp, config, dtype)
     nu = mach.nu
     build_qp_v = jax.vmap(mach.build_qp, in_axes=(0, 0, 0))

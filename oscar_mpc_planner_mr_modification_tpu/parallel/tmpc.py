@@ -145,14 +145,21 @@ class TMPCOptimizer:
         elif data.goal_received and data.goal is not None:
             from ..guidance.global_guidance import Goal
 
-            # Goal-mode grid: lateral fan around the straight line to the goal
+            # Goal-mode grid: lateral fan around the straight line to the goal,
+            # clamped to the PRM's reachable range over the horizon (like the
+            # path-based variant, which integrates the path velocity over the
+            # horizon, guidance_constraints.cpp:147-150) - goals beyond
+            # v_max * T are unreachable and would void the whole search.
             direction = data.goal - state.get_position()
             dist = np.linalg.norm(direction)
             direction = direction / (dist + 1e-9)
+            cfg = self.global_guidance.config
+            reach = 0.8 * cfg.max_velocity * cfg.N * cfg.dt
+            anchor = state.get_position() + direction * min(dist, reach)
             normal = np.array([-direction[1], direction[0]])
-            goals = [Goal(np.asarray(data.goal, dtype=float), 0.0)]
+            goals = [Goal(anchor, 0.0)]
             for d in (-2.0, -1.0, 1.0, 2.0):
-                goals.append(Goal(data.goal + normal * d, abs(d)))
+                goals.append(Goal(anchor + normal * d, abs(d)))
             self.global_guidance.set_goals(goals)
 
         self.global_guidance.update()
