@@ -33,7 +33,7 @@ def main():
     from oscar_mpc_planner_mr_modification_tpu.parallel.batch import (
         make_batched_tmpc_step)
 
-    batch = int(os.environ.get("BENCH_BATCH", "1024"))
+    batch = int(os.environ.get("BENCH_BATCH", "512"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     n_paths = int(os.environ.get("BENCH_PATHS", "8"))
     N = int(os.environ.get("BENCH_N", "20"))
