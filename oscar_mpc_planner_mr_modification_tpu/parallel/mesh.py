@@ -30,9 +30,10 @@ from ..ops.sqp import make_sqp_solver, SQPConfig
 
 def make_mesh(n_robots: int, n_planner_shards: int, devices=None) -> Mesh:
     devices = np.asarray(devices if devices is not None else jax.devices())
-    assert devices.size == n_robots * n_planner_shards, (
-        f"{devices.size} devices != {n_robots} x {n_planner_shards}")
-    return Mesh(devices.reshape(n_robots, n_planner_shards),
+    needed = n_robots * n_planner_shards
+    assert devices.size >= needed, (
+        f"{devices.size} devices < {n_robots} x {n_planner_shards}")
+    return Mesh(devices.reshape(-1)[:needed].reshape(n_robots, n_planner_shards),
                 axis_names=("robots", "planners"))
 
 

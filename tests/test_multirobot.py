@@ -227,12 +227,12 @@ def test_sharded_fleet_step_on_virtual_mesh():
 
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
-    ocp, settings = tmpc_bench_ocp(N=8, n_paths=3)
-    cfg = SQPConfig(n_sqp=3, n_qp_iter=8, regularization="gershgorin")
-    B = 8
+    ocp, settings = tmpc_bench_ocp(N=6, n_paths=1)
+    cfg = SQPConfig(n_sqp=2, n_qp_iter=6, regularization="gershgorin")
+    B = 4
     params, xinit, z_init, disabled = build_tmpc_fleet(ocp, settings, B,
                                                        dtype=np.float64)
-    mesh = make_mesh(4, 2)
+    mesh = make_mesh(2, 2)
     step = make_sharded_tmpc_step(ocp, cfg, mesh, dtype=jnp.float64)
     args = shard_fleet_arrays(mesh, jnp.asarray(params), jnp.asarray(xinit),
                               jnp.asarray(z_init), jnp.asarray(disabled))

@@ -171,7 +171,7 @@ def test_tmpc_closed_loop_progresses_and_avoids():
     min_dist = np.inf
     topologies = []
     n_success = 0
-    for step in range(35):
+    for step in range(28):
         data = make_tmpc_data(settings, state, [(obstacle, np.zeros(2))], N, dt)
         out = planner.solve_mpc(state, data)
         if out.success:
@@ -187,7 +187,7 @@ def test_tmpc_closed_loop_progresses_and_avoids():
         clock.t += dt
         min_dist = min(min_dist, np.linalg.norm(state.get_position() - obstacle))
 
-    assert n_success >= 25, f"solved {n_success}/35"
+    assert n_success >= 20, f"solved {n_success}/28"
     assert state.get("x") > 5.0, f"did not progress: {state}"
     assert min_dist > 0.6, f"too close to obstacle: {min_dist:.2f}"
     # Topology selection is meaningful and mostly stable
