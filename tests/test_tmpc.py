@@ -307,3 +307,37 @@ def test_tmpc_with_gaussian_submodule():
     # Chance constraints with risk inflation keep a larger margin than the
     # deterministic combined radius (0.675)
     assert min_dist > 0.8, f"margin {min_dist:.2f}"
+
+
+def test_goal_mode_guidance_reachability():
+    """Regression: goals beyond the PRM horizon reach must still yield guidance
+    trajectories (the fan is clamped to ~0.8*v_max*T; an unclamped fan made
+    every goal unreachable and voided the search, leaving unguided-only
+    planning in congested scenes)."""
+    from oscar_mpc_planner_mr_modification_tpu.factory import (
+        build_planner, configuration_goal_tmpc)
+    from oscar_mpc_planner_mr_modification_tpu.planner.data_preparation import (
+        define_robot_area, ensure_obstacle_size)
+
+    N = 12  # reach = 0.8 * 3 m/s * 2.4 s = 5.76 m << 12 m goal distance
+    settings = default_settings(
+        N=N, max_obstacles=2, weights={"goal": 5.0},
+        guidance={"n_samples": 30, "longitudinal_goals": 2, "vertical_goals": 3})
+    model, modules = configuration_goal_tmpc(settings)
+    planner = build_planner(model, modules, settings, dtype=jnp.float64,
+                            sqp_config=SQPConfig(n_sqp=4, n_qp_iter=10))
+    state = State(model)
+    state.set("v", 0.5)
+    data = RealTimeData()
+    data.robot_area = define_robot_area(0.65, 0.65, 1)
+    data.goal = np.array([12.0, 0.0])  # far beyond horizon reach
+    data.goal_received = True
+    obs = DynamicObstacle(index=0, position=np.array([3.0, 0.0]), radius=0.4)
+    obs.prediction = get_constant_velocity_prediction(
+        obs.position, np.zeros(2), 0.2, N)
+    data.dynamic_obstacles = ensure_obstacle_size([obs], state, 2, N, 0.2)
+
+    out = planner.solve_mpc(state, data)
+    assert out.success
+    assert out.num_of_guidance_found >= 1, (
+        "guidance search returned nothing for a far goal")
