@@ -192,10 +192,13 @@ def _ca_spline_update(x, x_integrated, ctx):
     vt_t = dpx * tx + dpy * ty
     vn_t = dpx * ty - dpy * tx
 
-    # Reference floors R at 1e5 via fmax(1/curvature, 1e5) (solver_model.py:266-267);
-    # we bound R by flooring the curvature instead: identical limit behavior
-    # (theta -> vt/R, s + R*theta -> s + vt) but no inf*0 = NaN on exactly
-    # straight splines (curvature == 0).
+    # INTENTIONAL DEVIATION from the reference: solver_model.py:266-267 uses
+    # fmax(1/curvature, 1e5), i.e. it FLOORS R at 1e5 (so R >= 1e5 always,
+    # which degenerates the update for every curvature > 1e-5; the reference
+    # model is marked NOT TESTED). We instead CAP R at 1e5 by flooring the
+    # curvature — physically sensible (R tracks the path's true radius) and
+    # NaN-free on exactly straight splines; outputs differ from the reference
+    # for curvature > 1e-5 by design.
     R = 1.0 / jnp.maximum(path.get_curvature(s), 1e-5)
 
     theta = jnp.arctan2(vt_t, R - contour_error - vn_t)

@@ -210,7 +210,10 @@ class ContouringModule(ObjectiveModule):
                 t = bound.deriv(cur_s)
                 t = t / (np.linalg.norm(t) + 1e-12)
                 A = np.array([t[1], -t[0]])
-                b = float(A @ (bound.at(cur_s) - sign * A * (-r)))
+                # Offset the bound inward by the robot radius so the robot
+                # center stays r inside the physical edge (contouring.cpp:253-263:
+                # left b = A@(p + A*r) with halfspace (-A,-b); right b = A@(p - A*r)).
+                b = float(A @ (bound.at(cur_s) - sign * A * r))
                 module_data.static_obstacles[k].append(
                     Halfspace(sign * A, sign * b))
 

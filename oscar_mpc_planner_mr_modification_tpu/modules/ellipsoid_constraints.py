@@ -71,10 +71,11 @@ class EllipsoidConstraintModule(ConstraintModule):
             a11 = 1.0 / ((major + r_disc + obst_r) ** 2)
             a22 = 1.0 / ((minor + r_disc + obst_r) ** 2)
             c, s = jnp.cos(obst_psi), jnp.sin(obst_psi)
-            # R^T diag(a11,a22) R for rotation R(psi)
+            # R^T diag(a11,a22) R with R(psi) = [[c,-s],[s,c]]
+            # (ellipsoid_constraints.py:96-106): off-diagonal is (a22-a11)*c*s.
             e11 = a11 * c * c + a22 * s * s
             e22 = a11 * s * s + a22 * c * c
-            e12 = (a11 - a22) * c * s
+            e12 = (a22 - a11) * c * s
 
             for d in range(self.n_discs):
                 px, py = ego_disc_position(model, params, d)

@@ -118,7 +118,12 @@ class LinearizedConstraintModule(ConstraintModule):
         self._b = np.full((self.n_discs, N, rows), self._dummy_b)
 
         for k in range(1, N):
-            centers = [obs.prediction.modes[0][k - 1].position for obs in obstacles]
+            # Clamp the prediction step for short predictions (matches the
+            # sibling modules' min(k-1, len(mode)-1) handling).
+            centers = [
+                obs.prediction.modes[0][min(k - 1, len(obs.prediction.modes[0]) - 1)]
+                .position for obs in obstacles
+            ]
             radii = [
                 (1e-3 if self.use_guidance else obs.radius) + self.robot_radius
                 for obs in obstacles
@@ -136,7 +141,8 @@ class LinearizedConstraintModule(ConstraintModule):
                     pos = _project_outside_discs(pos, centers, radii, anchor)
 
                 for i, obs in enumerate(obstacles):
-                    opos = obs.prediction.modes[0][k - 1].position
+                    mode = obs.prediction.modes[0]
+                    opos = mode[min(k - 1, len(mode) - 1)].position
                     diff = opos - pos
                     dist = np.linalg.norm(diff)
                     if dist < 1e-9:

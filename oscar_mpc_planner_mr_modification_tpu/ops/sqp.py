@@ -236,10 +236,19 @@ def make_sqp_solver(ocp, config: SQPConfig = SQPConfig(), dtype=jnp.float32):
     dyn_lin = mach.dyn_lin
     total_cost = mach.total_cost
 
-    def merit_of(Z, P):
-        """SQP merit: cost + infeasibility penalty (inf when non-finite)."""
+    def merit_of(Z, P, xinit):
+        """SQP merit: cost + infeasibility penalty (inf when non-finite).
+
+        The equality residual includes BOTH the dynamics defects and the
+        initial-condition residual |xinit - x_0|: without the latter, a stale
+        warmstart that is dynamically consistent from the WRONG start point has
+        near-zero merit, wins the best-iterate comparison against every true
+        iterate, and is returned as "success" (the acados analog constrains
+        lbx_0 = ubx_0 = xinit, so its residual check covers it implicitly).
+        """
         f, _, _ = jax.vmap(dyn_lin)(Z[:-1], P[:-1])
-        eq_res = jnp.max(jnp.abs(f - Z[1:, nu:]))
+        eq_res = jnp.maximum(jnp.max(jnp.abs(f - Z[1:, nu:])),
+                             jnp.max(jnp.abs(xinit - Z[0, nu:])))
         cost = total_cost(Z, P)
         finite = jnp.isfinite(cost) & jnp.all(jnp.isfinite(Z))
         merit = jnp.where(finite, cost + config.merit_eq_weight * eq_res,
@@ -263,18 +272,18 @@ def make_sqp_solver(ocp, config: SQPConfig = SQPConfig(), dtype=jnp.float32):
             # Best-iterate tracking: full-step SQP (acados FIXED_STEP) can cycle
             # on nonconvex problems; keep the best-merit iterate so extra
             # iterations are never worse.
-            merit, _, _, _ = merit_of(Z_new, P)
+            merit, _, _, _ = merit_of(Z_new, P, xinit)
             better = merit < best_merit
             best_Z = jnp.where(better, Z_new, best_Z)
             best_merit = jnp.where(better, merit, best_merit)
             return (Z_new, best_Z, best_merit), (sol.comp, sol.eq_res)
 
-        merit0, _, _, _ = merit_of(Z0, P)
+        merit0, _, _, _ = merit_of(Z0, P, xinit)
         (Z_last, best_Z, _), (comps, eqs) = jax.lax.scan(
             body, (Z0, Z0, merit0), None, length=config.n_sqp)
         Z = best_Z
 
-        merit, cost, eq_res, finite = merit_of(Z, P)
+        merit, cost, eq_res, finite = merit_of(Z, P, xinit)
         success = (eq_res <= config.res_eq_tol) & finite
         exit_code = jnp.where(success, 1, 0)
         return SQPResult(z=Z, cost=cost, eq_res=eq_res, qp_comp=comps[-1],
@@ -318,9 +327,13 @@ def make_fleet_sqp_solver(ocp, config: SQPConfig = SQPConfig(),
                 w_max=config.w_max))(qp)
             return sol.z
 
-    def merit_of(Z, P):
+    def merit_of(Z, P, xinit):
+        # Includes the initial-condition residual |xinit - x_0| alongside the
+        # dynamics defects — see the single-instance merit_of for why.
         f, _, _ = jax.vmap(jax.vmap(dyn_lin))(Z[:, :-1], P[:, :-1])
-        eq_res = jnp.max(jnp.abs(f - Z[:, 1:, nu:]), axis=(1, 2))
+        eq_res = jnp.maximum(
+            jnp.max(jnp.abs(f - Z[:, 1:, nu:]), axis=(1, 2)),
+            jnp.max(jnp.abs(xinit - Z[:, 0, nu:]), axis=1))
         cost = jax.vmap(total_cost)(Z, P)
         finite = jnp.isfinite(cost) & jnp.all(jnp.isfinite(Z), axis=(1, 2))
         merit = jnp.where(finite, cost + config.merit_eq_weight * eq_res,
@@ -341,17 +354,17 @@ def make_fleet_sqp_solver(ocp, config: SQPConfig = SQPConfig(),
             Z_new = Z + dz
             bad = jnp.any(jnp.isnan(Z_new), axis=(1, 2), keepdims=True)
             Z_new = jnp.where(bad, Z, Z_new)
-            merit, _, _, _ = merit_of(Z_new, P)
+            merit, _, _, _ = merit_of(Z_new, P, xinit_)
             better = (merit < best_merit)[:, None, None]
             best_Z = jnp.where(better, Z_new, best_Z)
             best_merit = jnp.minimum(merit, best_merit)
             return (Z_new, best_Z, best_merit), None
 
-        merit0, _, _, _ = merit_of(Z0, P)
+        merit0, _, _, _ = merit_of(Z0, P, xinit_)
         (Z_last, Z, _), _ = jax.lax.scan(
             body, (Z0, Z0, merit0), None, length=config.n_sqp)
 
-        merit, cost, eq_res, finite = merit_of(Z, P)
+        merit, cost, eq_res, finite = merit_of(Z, P, xinit_)
         success = (eq_res <= config.res_eq_tol) & finite
         exit_code = jnp.where(success, 1, 0)
         return SQPResult(z=Z, cost=cost, eq_res=eq_res,

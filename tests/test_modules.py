@@ -160,6 +160,40 @@ def test_ellipsoid_constraint_value():
     assert abs(float(cons[0]) - 1.0) < 1e-10
 
 
+def test_ellipsoid_rotation_matches_reference_convention():
+    """The ellipse matrix must be R^T diag R with R(psi)=[[c,-s],[s,c]]
+    (ellipsoid_constraints.py:96-106 + util/math.py:5). Under that product the
+    value along direction u is |x|^2 (R u)^T diag (R u), so the major axis of
+    the level set points along R^T e1 = (cos psi, -sin psi): for psi=+45deg the
+    boundary sits at distance `major` along (1,-1) and `minor` along (1,1)."""
+    settings = make_settings(max_obstacles=1)
+    model = SecondOrderUnicycleModel()
+    mm, reg = build(lambda m, s: m.add_module(EllipsoidConstraintModule(s)), settings)
+    p = np.zeros(reg.npar)
+    p[reg.index("ego_disc_radius")] = 0.0
+    p[reg.index("ellipsoid_obst_0_x")] = 0.0
+    p[reg.index("ellipsoid_obst_0_y")] = 0.0
+    p[reg.index("ellipsoid_obst_0_psi")] = np.pi / 4
+    p[reg.index("ellipsoid_obst_0_major")] = 2.0  # semi-axis a
+    p[reg.index("ellipsoid_obst_0_minor")] = 1.0  # semi-axis b
+    p[reg.index("ellipsoid_obst_0_chi")] = 1.0
+    p[reg.index("ellipsoid_obst_0_r")] = 0.0
+
+    def value_at(px, py):
+        z = np.zeros(6)
+        z[model.nu + 0] = px
+        z[model.nu + 1] = py
+        return float(mm.constraints(model, jnp.asarray(z),
+                                    reg.view(jnp.asarray(p)), settings, 1)[0])
+
+    d = 2.0 / np.sqrt(2.0)
+    # Major axis R^T e1 = (1,-1)/sqrt2, boundary at distance 2.
+    assert abs(value_at(d, -d) - 1.0) < 1e-8
+    # Minor axis R^T e2 = (1,1)/sqrt2, boundary at distance 1.
+    e = 1.0 / np.sqrt(2.0)
+    assert abs(value_at(e, e) - 1.0) < 1e-8
+
+
 def test_gaussian_constraint_matches_scipy_erfinv():
     from scipy.special import erfinv as scipy_erfinv
 

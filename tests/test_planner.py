@@ -243,6 +243,52 @@ def test_contouring_road_constraints_feed_linearized():
     assert any(hs.A @ np.array([0.2, -4.0]) > hs.b for hs in md.static_obstacles[1])
 
 
+def test_road_constraints_from_bounds_keep_robot_radius_inside():
+    """Bound-based road halfspaces must keep the robot CENTER a radius r inside
+    the physical edge (contouring.cpp:253-263: left b = A@(p + A*r) with
+    halfspace (-A,-b); right b = A@(p - A*r))."""
+    from oscar_mpc_planner_mr_modification_tpu.factory import (
+        configuration_no_obstacles)
+    from oscar_mpc_planner_mr_modification_tpu.solver import (State, Solver,
+                                                              build_ocp)
+    from oscar_mpc_planner_mr_modification_tpu.types import ModuleData
+    from oscar_mpc_planner_mr_modification_tpu.planner import Planner
+
+    settings = default_settings(N=10)
+    settings["contouring"]["add_road_constraints"] = True
+    model, mm = configuration_no_obstacles(settings)
+    ocp = build_ocp(model, mm, settings)
+    solver = Solver(ocp, settings, dtype=jnp.float64,
+                    sqp_config=SQPConfig(n_sqp=4, n_qp_iter=10))
+    planner = Planner(solver, mm, settings)
+
+    data = RealTimeData()
+    data.robot_area = define_robot_area(0.65, 0.65, 1)
+    r = data.robot_area[0].radius
+    xs = list(np.linspace(0, 20, 20))
+    data.reference_path.x = xs
+    data.reference_path.y = [0.0] * 20
+    data.left_bound.x = xs
+    data.left_bound.y = [3.0] * 20
+    data.right_bound.x = xs
+    data.right_bound.y = [-3.0] * 20
+    planner.on_data_received(data, "reference_path")
+
+    state = State(model)
+    state.set("v", 1.0)
+    solver.initialize_with_braking(state)
+    md = ModuleData()
+    mm.update_all(state, data, md)
+    hs = md.static_obstacles[1]
+    assert len(hs) == 2
+    eps = 1e-3
+    # Center r inside the bound: feasible. r past that: infeasible.
+    for y in (3.0 - r - eps, -(3.0 - r - eps)):
+        assert all(h.A @ np.array([0.2, y]) <= h.b + 1e-9 for h in hs), y
+    for y in (3.0 - r + eps, -(3.0 - r + eps)):
+        assert any(h.A @ np.array([0.2, y]) > h.b for h in hs), y
+
+
 def test_contouring_follows_curved_path():
     """Closed-loop MPCC on an arc (validates the spline machinery beyond
     straight lines: segment windows, blending, curvature)."""

@@ -128,6 +128,36 @@ def test_goal_tracking_with_obstacles_matches_independent_solver():
     assert abs(float(result.cost) - cost_ref) < 1e-5 * max(1.0, abs(cost_ref))
 
 
+def test_stale_warmstart_cannot_win_best_iterate():
+    """Regression: a dynamically-consistent warmstart from the WRONG start point
+    must not be returned as the solution. The best-iterate merit has to include
+    the initial-condition residual |xinit - x_0| (the acados analog pins
+    lbx_0 = ubx_0 = xinit), otherwise hold-mode warmstarts
+    (shift_previous_solution_forward: false, the reference default) freeze the
+    output forever in closed loop."""
+    N = 20
+    ocp, P, x0, z_init = goal_tracking_setup(N=N)
+    solve = make_sqp_solver(ocp, SQPConfig(n_sqp=10), dtype=jnp.float64)
+
+    # Build a stale-but-feasible warmstart: roll the dynamics from a point 5 m
+    # away from xinit with zero inputs -> zero dynamics defect, plausible cost.
+    x_stale = np.array([-5.0, -2.0, 0.0, 0.8])
+    z_stale = np.zeros((N + 1, ocp.nvar))
+    xk = jnp.asarray(x_stale)
+    z_stale[0, ocp.nu:] = x_stale
+    for k in range(N):
+        xk = ocp.dynamics(xk, jnp.zeros(ocp.nu), jnp.asarray(P[k]))
+        z_stale[k + 1, ocp.nu:] = np.asarray(xk)
+
+    result = solve(jnp.asarray(P), jnp.asarray(x0), jnp.asarray(z_stale))
+    x_start = np.asarray(result.z)[0, ocp.nu: ocp.nu + 2]
+    if bool(result.success):
+        # A successful result must start at xinit, not at the stale start
+        assert np.linalg.norm(x_start - x0[:2]) < 1e-3, x_start
+    else:
+        assert float(result.eq_res) > 1e-2  # honest failure reporting
+
+
 def test_solver_respects_obstacle_constraints():
     N = 20
     ocp, P, x0, z_init = goal_tracking_setup(N=N)
