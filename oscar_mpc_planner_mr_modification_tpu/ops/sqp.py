@@ -293,13 +293,17 @@ def make_sqp_solver(ocp, config: SQPConfig = SQPConfig(), dtype=jnp.float32):
 
 
 def make_fleet_sqp_solver(ocp, config: SQPConfig = SQPConfig(),
-                          dtype=jnp.float32, backend: str = "pallas"):
+                          dtype=jnp.float32, backend: str = "pallas",
+                          interpret: bool = False):
     """Batched fleet solver: same SQP iteration, QP subproblems solved for the
     whole (flattened) batch at once.
 
     ``backend="pallas"`` routes the QPs through the fused TPU kernel
     (:mod:`.qp_pallas`) - the speed-of-light path for large fleets;
     ``backend="xla"`` vmaps the reference XLA solver (used on CPU / for checks).
+    ``interpret=True`` runs the Pallas kernel in interpreter mode so the EXACT
+    shipped kernel is exercised by the CPU test suite (the reference analog:
+    test the solver you ship, solver_generator/test/test_acados.py:48-77).
 
     Returns ``solve(all_params (B, N, npar), xinit (B, nx),
     z_init (B, N+1, nvar)) -> SQPResult`` with leading batch axis.
@@ -318,7 +322,7 @@ def make_fleet_sqp_solver(ocp, config: SQPConfig = SQPConfig(),
             dz = solve_qp_batched(
                 qp.H, qp.g, qp.A, qp.B, qp.c, qp.D, qp.e, mach.row_mask, qp.r0,
                 nu=nu, n_iters=config.n_qp_iter, mu_min=config.mu_min,
-                w_max=config.w_max)
+                w_max=config.w_max, interpret=interpret)
             return dz
     else:
         def qp_solve_batch(qp):
@@ -340,6 +344,48 @@ def make_fleet_sqp_solver(ocp, config: SQPConfig = SQPConfig(),
                           jnp.inf)
         return merit, cost, eq_res, finite
 
+    def iteration(Z, best_Z, best_merit, P, xinit_):
+        qp = build_qp_v(Z, P, xinit_)
+        dz = qp_solve_batch(qp)
+        Z_new = Z + dz
+        bad = jnp.any(jnp.isnan(Z_new), axis=(1, 2), keepdims=True)
+        Z_new = jnp.where(bad, Z, Z_new)
+        merit, _, _, _ = merit_of(Z_new, P, xinit_)
+        better = (merit < best_merit)[:, None, None]
+        best_Z = jnp.where(better, Z_new, best_Z)
+        best_merit = jnp.minimum(merit, best_merit)
+        return Z_new, best_Z, best_merit
+
+    def finalize(Z, P, xinit_):
+        merit, cost, eq_res, finite = merit_of(Z, P, xinit_)
+        success = (eq_res <= config.res_eq_tol) & finite
+        exit_code = jnp.where(success, 1, 0)
+        return SQPResult(z=Z, cost=cost, eq_res=eq_res,
+                         qp_comp=jnp.zeros_like(cost), success=success,
+                         exit_code=exit_code)
+
+    if interpret:
+        # CPU-suite path: XLA:CPU compile time explodes on n_sqp unrolled
+        # copies of the interpreted kernel inside one jitted scan, so run a
+        # host loop over a once-jitted single iteration (same shipped code
+        # path; compile cost paid once).
+        iteration_j = jax.jit(iteration)
+        finalize_j = jax.jit(finalize)
+
+        def solve(all_params, xinit, z_init):
+            P = jnp.concatenate(
+                [all_params, all_params[:, -1:]], axis=1).astype(dtype)
+            Z = z_init.astype(dtype)
+            xinit_ = xinit.astype(dtype)
+            best_merit, _, _, _ = merit_of(Z, P, xinit_)
+            best_Z = Z
+            for _ in range(config.n_sqp):
+                Z, best_Z, best_merit = iteration_j(
+                    Z, best_Z, best_merit, P, xinit_)
+            return finalize_j(best_Z, P, xinit_)
+
+        return solve
+
     @jax.jit
     def solve(all_params, xinit, z_init):
         P = jnp.concatenate(
@@ -349,26 +395,14 @@ def make_fleet_sqp_solver(ocp, config: SQPConfig = SQPConfig(),
 
         def body(carry, _):
             Z, best_Z, best_merit = carry
-            qp = build_qp_v(Z, P, xinit_)
-            dz = qp_solve_batch(qp)
-            Z_new = Z + dz
-            bad = jnp.any(jnp.isnan(Z_new), axis=(1, 2), keepdims=True)
-            Z_new = jnp.where(bad, Z, Z_new)
-            merit, _, _, _ = merit_of(Z_new, P, xinit_)
-            better = (merit < best_merit)[:, None, None]
-            best_Z = jnp.where(better, Z_new, best_Z)
-            best_merit = jnp.minimum(merit, best_merit)
+            Z_new, best_Z, best_merit = iteration(Z, best_Z, best_merit,
+                                                  P, xinit_)
             return (Z_new, best_Z, best_merit), None
 
         merit0, _, _, _ = merit_of(Z0, P, xinit_)
         (Z_last, Z, _), _ = jax.lax.scan(
             body, (Z0, Z0, merit0), None, length=config.n_sqp)
 
-        merit, cost, eq_res, finite = merit_of(Z, P, xinit_)
-        success = (eq_res <= config.res_eq_tol) & finite
-        exit_code = jnp.where(success, 1, 0)
-        return SQPResult(z=Z, cost=cost, eq_res=eq_res,
-                         qp_comp=jnp.zeros_like(cost), success=success,
-                         exit_code=exit_code)
+        return finalize(Z, P, xinit_)
 
     return solve

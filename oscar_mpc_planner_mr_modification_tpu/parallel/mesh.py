@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.sqp import make_sqp_solver, SQPConfig
+from ..ops.sqp import make_fleet_sqp_solver, SQPConfig
 
 
 def make_mesh(n_robots: int, n_planner_shards: int, devices=None) -> Mesh:
@@ -37,23 +37,45 @@ def make_mesh(n_robots: int, n_planner_shards: int, devices=None) -> Mesh:
                 axis_names=("robots", "planners"))
 
 
+def select_backend(backend: str = "auto", platform: str | None = None) -> str:
+    """QP backend for the sharded step: the fused Pallas kernel on TPU, the
+    vmapped XLA solver elsewhere (CPU virtual meshes, tests). The multi-chip
+    path MUST be the fast path — the reference's parallel fan-out IS its
+    production path (guidance_constraints.cpp:304-421)."""
+    if backend != "auto":
+        return backend
+    platform = platform or jax.default_backend()
+    return "pallas" if platform == "tpu" else "xla"
+
+
 def make_sharded_tmpc_step(ocp, config: SQPConfig, mesh: Mesh,
-                           dtype=jnp.float32):
+                           dtype=jnp.float32, backend: str = "auto"):
     """Fleet step over a ("robots", "planners") mesh.
 
     Inputs (global shapes): params (B, P, N, npar), xinit (B, nx),
     z_init (B, P, N+1, nvar), disabled (B, P); B sharded over "robots",
     P sharded over "planners". Returns per-instance best (z, cost, index).
+
+    Each device flattens its local (b_loc, p_loc) block into one fleet batch
+    and solves it through :func:`make_fleet_sqp_solver` — on TPU that is the
+    fused Pallas kernel, the same speed-of-light path as the single-chip
+    bench. The selected backend is exposed as ``step.backend``.
     """
-    solve = make_sqp_solver(ocp, config, dtype=dtype)
+    backend = select_backend(backend)
+    solve_fleet = make_fleet_sqp_solver(ocp, config, dtype=dtype,
+                                        backend=backend)
     n_planner_shards = mesh.shape["planners"]
 
     def local_block(params, xinit, z_init, disabled):
         """Runs on one device: local (b_loc, p_loc) block + cross-shard selection."""
-        # Solve the local planner block for each local instance
-        res = jax.vmap(
-            jax.vmap(solve, in_axes=(0, None, 0)), in_axes=(0, 0, 0)
-        )(params, xinit, z_init)
+        # Flatten the local planner block into one fleet batch (batch is the
+        # kernel's vector axis) and solve it in a single fused call.
+        b_loc, p_loc = params.shape[0], params.shape[1]
+        flat = lambda x: x.reshape((b_loc * p_loc,) + x.shape[2:])
+        xinit_rep = jnp.repeat(xinit, p_loc, axis=0)  # (b*p, nx)
+        res_flat = solve_fleet(flat(params), xinit_rep, flat(z_init))
+        res = jax.tree.map(
+            lambda x: x.reshape((b_loc, p_loc) + x.shape[1:]), res_flat)
         ok = res.success & (~disabled)
         costs = jnp.where(ok, res.cost, jnp.inf)  # (b_loc, p_loc)
 
@@ -83,7 +105,9 @@ def make_sharded_tmpc_step(ocp, config: SQPConfig, mesh: Mesh,
         out_specs=(P("robots"), P("robots"), P("robots"), P("robots")),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    step = jax.jit(sharded)
+    step.backend = backend
+    return step
 
 
 def shard_fleet_arrays(mesh: Mesh, params, xinit, z_init, disabled):
