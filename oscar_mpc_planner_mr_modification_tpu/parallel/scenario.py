@@ -5,16 +5,43 @@ Reference: mpc_planner_modules/src/scenario_constraints.cpp:31-130 + the externa
 from the Gaussian obstacle predictions, building 24 halfspace constraints per stage
 from the support scenarios, solving, and returning the lowest-cost feasible plan.
 
-Here the solver axis is a vmap dimension: scenario sampling is vectorized numpy
-(per-solver RNG streams), the halfspace extraction picks the closest samples per
-stage w.r.t. the warmstart trajectory, and the 4 (or more) solves run as one
-batched XLA program. Scaling the number of parallel scenario solvers is a batch-
-size change, not a threading change.
+This module reproduces the *scenario-optimization machinery* that external
+package provides (invoked at scenario_constraints.cpp:85,110-130), not just the
+parallel shell:
+
+- **Sample-size calibration**: the number of scenarios S is computed from the
+  risk level epsilon, the confidence beta and a bound on the number of support
+  scenarios, using the posterior risk bound of the nonconvex scenario approach
+  (Campi, Garatti, Ramponi 2018, "A general scenario theory for nonconvex
+  optimization and decision making"): with confidence >= 1 - beta,
+  ``V(x*) <= eps(s*)`` where ``eps(k) = 1 - (beta / (S * C(S,k)))^(1/(S-k))``
+  and s* is the observed number of support scenarios. ``scenario_sample_size``
+  inverts this: the smallest S with ``eps(max_support) <= epsilon``.
+- **Integrated sampling**: scenario trajectories are drawn as integrated noise
+  (random-walk increments reconstructed from the per-step marginal sigmas, then
+  cumulatively summed) - the sampler's IntegrateAndTranslateToMeanAndVariance
+  capability - so samples are temporally consistent trajectories, not
+  independent per-stage clouds.
+- **Support-scenario selection with pruning**: per stage, the free-space
+  polytope is built greedily from the nearest scenario discs; a scenario whose
+  disc already lies in the excluded halfplane of a selected constraint is
+  *dominated* and pruned without consuming one of the 24 constraint rows. If
+  non-dominated scenarios remain after all rows are used the stage is
+  UNDER-COVERED and the optimizer reports it (``last_uncovered``) - the failure
+  mode the round-1 closest-24 heuristic could hit silently.
+- **Support counting + posterior certificate**: after the solve, the number of
+  active constraint rows is counted and ``posterior_epsilon`` turns it into the
+  a-posteriori risk certificate for the returned trajectory.
+
+The solver axis stays a vmap dimension: the 4 (or more) solves run as one
+batched XLA/Pallas program. Scaling the number of parallel scenario solvers is
+a batch-size change, not a threading change.
 """
 
 from __future__ import annotations
 
 import numpy as np
+from scipy.special import gammaln
 
 import jax
 import jax.numpy as jnp
@@ -24,13 +51,114 @@ from ..ops.sqp import make_sqp_solver, SQPResult
 from ..types import PredictionType
 
 
+# ---------------------------------------------------------------------------
+# Scenario-optimization theory (the scenario_module's calibration role)
+# ---------------------------------------------------------------------------
+def _log_binom(n: int, k) -> np.ndarray:
+    k = np.asarray(k)
+    return gammaln(n + 1) - gammaln(k + 1) - gammaln(n - k + 1)
+
+
+def posterior_epsilon(S: int, k: int, beta: float) -> float:
+    """A-posteriori risk bound of the nonconvex scenario approach.
+
+    With confidence >= 1 - beta, the violation probability of a scenario
+    solution with k support scenarios out of S samples satisfies
+    ``V <= 1 - (beta / (S * C(S,k)))^(1/(S-k))`` (Campi-Garatti-Ramponi 2018,
+    Theorem 1). Returns 1.0 when k >= S (no generalization possible).
+    """
+    if k >= S:
+        return 1.0
+    log_t = (np.log(beta) - np.log(S) - _log_binom(S, k)) / (S - k)
+    return float(1.0 - np.exp(log_t))
+
+
+def scenario_sample_size(epsilon: float, beta: float, max_support: int,
+                         s_max: int = 200_000) -> int:
+    """Smallest sample count S with ``posterior_epsilon(S, max_support) <= eps``.
+
+    This is the a-priori calibration the SH-MPC formulation needs: bound the
+    number of support scenarios (the polytope facets actually touching the
+    solution), then size the sample set so the risk certificate meets the
+    requested (epsilon, beta) even in the worst admissible support case.
+    """
+    assert 0.0 < epsilon < 1.0 and 0.0 < beta < 1.0 and max_support >= 1
+    lo, hi = max_support + 1, max_support + 2
+    while posterior_epsilon(hi, max_support, beta) > epsilon:
+        hi *= 2
+        if hi > s_max:
+            raise ValueError(
+                f"sample size exceeds {s_max} for eps={epsilon}, beta={beta}, "
+                f"support={max_support}")
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if posterior_epsilon(mid, max_support, beta) <= epsilon:
+            hi = mid
+        else:
+            lo = mid + 1
+    return int(hi)
+
+
+def select_support_halfspaces(pos, centers, margins, n_rows):
+    """Greedy free-space polytope from scenario discs, with domination pruning.
+
+    pos: (2,) linearization point. centers: (M, 2) scenario disc centers.
+    margins: (M,) disc radii (obstacle radius + robot radius). Returns
+    (a (n_sel, 2), b (n_sel,), sel_idx (n_sel,), n_uncovered).
+
+    A disc j is *dominated* by an already-selected halfspace (a_i, b_i) when it
+    lies entirely in the excluded halfplane: ``a_i @ c_j - margin_j >= b_i`` -
+    any point satisfying constraint i then cannot be inside disc j, so j needs
+    no row of its own (the scenario_module's scenario-pruning capability).
+    Discs are visited nearest-first (most binding first); ``n_uncovered``
+    counts non-dominated discs left when the row budget runs out - the
+    under-coverage signal.
+    """
+    M = centers.shape[0]
+    if M == 0:
+        return (np.zeros((0, 2)), np.zeros(0), np.zeros(0, dtype=int), 0)
+    diff = centers - pos[None]
+    dist = np.linalg.norm(diff, axis=1)
+    # Degenerate: linearization point exactly at a disc center
+    deg = dist < 1e-9
+    diff[deg] = np.array([1.0, 0.0])
+    dist[deg] = 1e-9
+    a_all = diff / dist[:, None]  # (M, 2) unit normals toward each disc
+    b_all = np.sum(a_all * centers, axis=1) - margins  # (M,)
+    order = np.argsort(dist - margins)  # nearest disc boundary first
+
+    sel = []
+    covered = np.zeros(M, dtype=bool)
+    for j in order:
+        if covered[j]:
+            continue
+        if len(sel) == n_rows:
+            break
+        sel.append(j)
+        # Prune every disc entirely inside this halfspace's excluded side
+        covered |= (centers @ a_all[j]) - margins >= b_all[j] - 1e-12
+    n_uncovered = int(np.count_nonzero(~covered))
+    sel = np.asarray(sel, dtype=int)
+    return a_all[sel], b_all[sel], sel, n_uncovered
+
+
 class ScenarioOptimizer:
     def __init__(self, solver, settings, seed: int = 0):
         self.solver = solver
         self.settings = settings
-        self.n_solvers = int(settings["scenario_constraints"]["parallel_solvers"])
-        self.n_samples = int(settings["scenario_constraints"].get("n_samples", 128))
+        scfg = settings["scenario_constraints"]
+        self.n_solvers = int(scfg["parallel_solvers"])
         self.robot_radius = float(settings["robot_radius"])
+        # (epsilon, beta) -> sample size; an explicit n_samples overrides (for
+        # tests / quick runs), otherwise calibrate from the risk settings.
+        self.epsilon = float(settings["probabilistic"]["risk"])
+        self.beta = float(scfg.get("confidence", 1e-2))
+        self.max_support = int(scfg.get("max_support", 10))
+        if scfg.get("n_samples"):
+            self.n_samples = int(scfg["n_samples"])
+        else:
+            self.n_samples = scenario_sample_size(
+                self.epsilon, self.beta, self.max_support)
         self.rng = np.random.default_rng(seed)
         if (jax.devices()[0].platform == "tpu"
                 and solver.dtype == jnp.float32):
@@ -61,12 +189,18 @@ class ScenarioOptimizer:
         self._samples = None
         self._sample_radii = None
         self.best_solver_index = -1
+        # Diagnostics of the last optimize()
+        self.last_uncovered = 0  # max non-dominated discs dropped at any stage
+        self.last_support = 0  # active-row count of the returned solution
+        self.last_certificate = 1.0  # posterior_epsilon(S, last_support, beta)
 
     # -- sampling (scenario_constraints.cpp:110-130) -----------------------
     def sample_scenarios(self, data) -> None:
-        """Draw per-solver scenario sample trajectories from the Gaussian
-        predictions (the scenario_module's IntegrateAndTranslateToMeanAndVariance
-        capability)."""
+        """Draw per-solver scenario trajectories from the Gaussian predictions
+        (the sampler's IntegrateAndTranslateToMeanAndVariance capability):
+        noise is drawn as per-step *increments* matching the marginal sigmas
+        (var_inc_k = sigma_k^2 - sigma_{k-1}^2) and integrated, so each sample
+        is a temporally consistent trajectory."""
         N = self.solver.N
         obstacles = [o for o in data.dynamic_obstacles
                      if not o.prediction.empty()]
@@ -86,9 +220,13 @@ class ScenarioOptimizer:
                 if gaussian:
                     stds[i, k] = (step.major_radius, step.minor_radius)
             radii[i] = obs.radius
+        var = stds**2
+        var_inc = np.diff(var, axis=1, prepend=np.zeros((n_obs, 1, 2)))
+        std_inc = np.sqrt(np.maximum(var_inc, 0.0))
         noise = self.rng.standard_normal(
             (self.n_solvers, self.n_samples, n_obs, N, 2))
-        self._samples = means[None, None] + noise * stds[None, None]
+        walk = np.cumsum(noise * std_inc[None, None], axis=3)
+        self._samples = means[None, None] + walk
         self._sample_radii = radii
 
     # -- optimize (scenario_constraints.cpp:58-108) ------------------------
@@ -104,9 +242,8 @@ class ScenarioOptimizer:
         model = self.solver.ocp.model
         ix, iy = model.var_index("x"), model.var_index("y")
 
-        for p in range(P):
-            self._fill_scenario_constraints(params[p], warmstarts[p],
-                                            self._samples[p], ix, iy)
+        self.last_uncovered = self._fill_scenario_constraints(
+            params, warmstarts, ix, iy)
 
         results: SQPResult = self._batched_solve(
             jnp.asarray(params), jnp.asarray(self.solver._xinit),
@@ -127,33 +264,56 @@ class ScenarioOptimizer:
             success=results.success[best], exit_code=results.exit_code[best]))
         self.solver.params.data[...] = params[best]
         module_data.trajectory_cost = float(costs[best])
+
+        # Support count + posterior risk certificate for the winner
+        self.last_support = self._count_support(
+            params[best], np.asarray(results.z[best]), ix, iy)
+        self.last_certificate = posterior_epsilon(
+            self.n_samples, self.last_support, self.beta)
         self._samples = None  # consume samples (resampled on new data)
         return int(exit_codes[best])
 
-    def _fill_scenario_constraints(self, params_p, warmstart_p, samples, ix, iy
-                                   ) -> None:
-        """Per stage: halfspaces from the closest scenario samples (support
-        scenarios) w.r.t. the warmstart trajectory."""
+    # ------------------------------------------------------------------
+    def _fill_scenario_constraints(self, params, warmstarts, ix, iy) -> int:
+        """Fill the 24 halfspace rows per stage for every solver from its own
+        scenario samples (support selection + pruning). Vectorized over the
+        candidate-disc axis; returns the max under-coverage over all
+        (solver, stage) pairs."""
         n_rows = N_SCENARIO_CONSTRAINTS
+        P, N = params.shape[0], self.solver.N
+        samples = self._samples  # (P, S, n_obs, N, 2)
+        S, n_obs = samples.shape[1], samples.shape[2]
+        # C-order flatten of (S, n_obs) is sample-major: radii tile per sample
+        margins = np.tile(self._sample_radii, S) + self.robot_radius  # (S*n_obs,)
+        params[:, :, self._a1_idx] = 1.0
+        params[:, :, self._a2_idx] = 0.0
+        params[:, :, self._b_idx] = 1.0e4
+        max_uncovered = 0
+        for p in range(P):
+            for k in range(1, N):
+                pos = warmstarts[p, k, [ix, iy]]
+                step = min(k - 1, samples.shape[3] - 1)
+                pts = samples[p, :, :, step].reshape(S * n_obs, 2)
+                a, b, _, n_unc = select_support_halfspaces(
+                    pos, pts, margins, n_rows)
+                max_uncovered = max(max_uncovered, n_unc)
+                n_sel = len(b)
+                params[p, k, self._a1_idx[:n_sel]] = a[:, 0]
+                params[p, k, self._a2_idx[:n_sel]] = a[:, 1]
+                params[p, k, self._b_idx[:n_sel]] = b
+        return max_uncovered
+
+    def _count_support(self, params_p, Z, ix, iy, tol: float = 1e-4) -> int:
+        """Number of scenario constraint rows active at the solution - the
+        observed support-scenario count s* for the posterior certificate."""
         N = self.solver.N
-        S, n_obs = samples.shape[0], samples.shape[1]
-        params_p[:, self._a1_idx] = 1.0
-        params_p[:, self._a2_idx] = 0.0
-        params_p[:, self._b_idx] = 1.0e4
+        active = 0
         for k in range(1, N):
-            pos = warmstart_p[k, [ix, iy]]
-            pts = samples[:, :, min(k - 1, samples.shape[2] - 1)].reshape(-1, 2)
-            radii = np.repeat(self._sample_radii[None, :], S, axis=0).reshape(-1)
-            d = np.linalg.norm(pts - pos[None], axis=1)
-            order = np.argsort(d)[:n_rows]
-            for row, j in enumerate(order):
-                c = pts[j]
-                diff = c - pos
-                dist = np.linalg.norm(diff)
-                if dist < 1e-9:
-                    continue
-                a = diff / dist
-                margin = radii[j] + self.robot_radius
-                params_p[k, self._a1_idx[row]] = a[0]
-                params_p[k, self._a2_idx[row]] = a[1]
-                params_p[k, self._b_idx[row]] = a @ c - margin
+            pos = Z[k, [ix, iy]]
+            a1 = params_p[k, self._a1_idx]
+            a2 = params_p[k, self._a2_idx]
+            b = params_p[k, self._b_idx]
+            real = b < 0.9e4
+            g = a1 * pos[0] + a2 * pos[1] - b
+            active += int(np.count_nonzero(real & (np.abs(g) < tol)))
+        return active

@@ -69,7 +69,8 @@ def default_settings(**overrides) -> Config:
             "robot": {"length": 0.65, "width": 0.65, "com_to_back": 0.0},
             "obstacle_radius": 0.325,
             "linearized_constraints": {"add_halfspaces": 0},
-            "scenario_constraints": {"parallel_solvers": 4, "n_samples": 128},
+            "scenario_constraints": {"parallel_solvers": 4, "n_samples": 128,
+                                     "confidence": 1e-2, "max_support": 10},
             "decomp": {"range": 2.0, "max_constraints": 12},
             "road": {"two_way": False, "width": 6.0},
             "shift_previous_solution_forward": False,

@@ -233,3 +233,130 @@ def test_decomp_constraints_with_costmap_end_to_end():
     traj = np.asarray(out.trajectory.positions)
     assert np.all(np.abs(traj[:, 1]) < 1.0)
     assert traj[-1, 0] > 1.5  # still makes progress down the corridor
+
+
+# ---------------------------------------------------------------------------
+# Scenario-optimization machinery (sample-size calibration, support selection,
+# empirical risk) - the external scenario_module's role
+# (scenario_constraints.cpp:85,110-130)
+# ---------------------------------------------------------------------------
+def test_scenario_calibration_bounds():
+    from oscar_mpc_planner_mr_modification_tpu.parallel.scenario import (
+        posterior_epsilon, scenario_sample_size)
+
+    # Closed-form check at k=0: eps = 1 - (beta/S)^(1/S)
+    S = 100
+    assert posterior_epsilon(S, 0, 0.01) == pytest.approx(
+        1.0 - (0.01 / S) ** (1.0 / S), rel=1e-12)
+    # Monotone: more samples -> lower risk; more support -> higher risk
+    assert posterior_epsilon(200, 5, 0.01) < posterior_epsilon(100, 5, 0.01)
+    assert posterior_epsilon(200, 10, 0.01) > posterior_epsilon(200, 5, 0.01)
+    # Degenerate: support = sample count gives no generalization
+    assert posterior_epsilon(50, 50, 0.01) == 1.0
+
+    # The returned S is minimal for the requested (eps, beta, support)
+    for d in (1, 5, 10):
+        S = scenario_sample_size(0.1, 0.01, d)
+        assert posterior_epsilon(S, d, 0.01) <= 0.1
+        assert posterior_epsilon(S - 1, d, 0.01) > 0.1
+
+
+def test_support_selection_prunes_dominated_discs():
+    from oscar_mpc_planner_mr_modification_tpu.parallel.scenario import (
+        select_support_halfspaces)
+
+    pos = np.zeros(2)
+    # A line of discs behind one another: the nearest halfspace excludes all
+    centers = np.array([[2.0, 0.0], [3.0, 0.0], [4.5, 0.0], [6.0, 0.0]])
+    margins = np.full(4, 0.4)
+    a, b, sel, n_unc = select_support_halfspaces(pos, centers, margins, 24)
+    assert len(b) == 1 and sel[0] == 0 and n_unc == 0
+    # The surviving constraint is the nearest disc's tangent halfspace
+    np.testing.assert_allclose(a[0], [1.0, 0.0], atol=1e-12)
+    assert b[0] == pytest.approx(2.0 - 0.4)
+
+    # Two clusters -> one facet each
+    centers2 = np.vstack([centers, -centers + [[0.0, 1.0]] * 4])
+    margins2 = np.full(8, 0.4)
+    a2, b2, sel2, n_unc2 = select_support_halfspaces(pos, centers2, margins2, 24)
+    assert len(b2) == 2 and n_unc2 == 0
+
+
+def test_under_coverage_is_detected_not_silent():
+    """A ring of mutually non-dominated scenario discs larger than the row
+    budget must be REPORTED as under-coverage - the round-1 closest-24
+    heuristic dropped the remainder silently."""
+    from oscar_mpc_planner_mr_modification_tpu.parallel.scenario import (
+        select_support_halfspaces)
+
+    pos = np.zeros(2)
+    n = 60
+    ang = np.linspace(0.0, 2 * np.pi, n, endpoint=False)
+    centers = 3.0 * np.stack([np.cos(ang), np.sin(ang)], axis=1)
+    margins = np.full(n, 0.05)  # tiny discs: nothing dominates anything
+    a, b, sel, n_unc = select_support_halfspaces(pos, centers, margins, 24)
+    assert len(b) == 24
+    assert n_unc > 0, "under-coverage went undetected"
+    # With a sufficient row budget everything is covered
+    _, _, _, n_unc_all = select_support_halfspaces(pos, centers, margins, n)
+    assert n_unc_all == 0
+
+
+def test_scenario_empirical_risk_within_certificate():
+    """Monte-Carlo validation of the SH-MPC guarantee: solve with a calibrated
+    sample count, then measure the collision probability of the returned
+    trajectory against FRESH scenario draws; it must not exceed the risk bound
+    (epsilon + MC noise)."""
+    from oscar_mpc_planner_mr_modification_tpu.parallel.scenario import (
+        scenario_sample_size)
+    from oscar_mpc_planner_mr_modification_tpu.modules import (
+        ScenarioConstraintModule)
+
+    N, dt = 15, 0.2
+    eps, beta, max_support = 0.2, 0.05, 10
+    S = scenario_sample_size(eps, beta, max_support)
+    settings = default_settings(
+        N=N, max_obstacles=2,
+        probabilistic={"enable": True, "risk": eps},
+        scenario_constraints={"parallel_solvers": 4, "n_samples": 0,
+                              "confidence": beta, "max_support": max_support})
+    model, modules = configuration_safe_horizon(settings)
+    planner = build_planner(model, modules, settings, dtype=jnp.float64,
+                            sqp_config=SQPConfig(n_sqp=8, n_qp_iter=15))
+    smod = next(m for m in planner.modules
+                if isinstance(m, ScenarioConstraintModule))
+    opt = smod._optimizer
+    assert opt.n_samples == S  # calibrated, not hard-coded
+
+    state = State(model)
+    state.set("v", 0.8)
+    data = make_sh_data(settings, state, N, dt)
+    planner.on_data_received(data, "reference_path")
+    planner.on_data_received(data, "dynamic obstacles")
+    out = planner.solve_mpc(state, data)
+    assert out.success, planner.solver.explain_exit_flag()
+    assert opt.last_uncovered == 0, (
+        f"{opt.last_uncovered} scenarios dropped - guarantee void")
+    assert opt.last_certificate <= eps + 1e-9, (
+        f"posterior certificate {opt.last_certificate:.3f} > eps")
+
+    # Planned positions (stage k constrained against prediction step k-1)
+    plan = np.array([[planner.solver.get_output(k, "x"),
+                      planner.solver.get_output(k, "y")]
+                     for k in range(1, N)])
+    slack = max(planner.solver.get_output(k, "slack") for k in range(1, N))
+    assert slack < 1e-3, f"slack active ({slack:.3f}): soft violation"
+
+    # Fresh MC draws through the same integrated-noise sampler
+    M = 4000
+    opt2 = type(opt)(planner.solver, settings, seed=1234)
+    opt2.n_solvers, opt2.n_samples = 1, M
+    opt2.sample_scenarios(data)
+    fresh = opt2._samples[0]  # (M, n_obs, N, 2)
+    margins = opt2._sample_radii + opt2.robot_radius  # (n_obs,)
+    d = np.linalg.norm(fresh[:, :, : N - 1] - plan[None, None], axis=-1)
+    violated = np.any(d < margins[None, :, None], axis=(1, 2))  # (M,)
+    rate = float(np.mean(violated))
+    mc_noise = 3.0 * np.sqrt(eps * (1 - eps) / M)
+    assert rate <= eps + mc_noise, (
+        f"empirical violation {rate:.3f} > eps {eps} + {mc_noise:.3f}")
