@@ -181,6 +181,27 @@ class ModuleManager:
             m.reset()
 
 
+def mode_risk_allocation(prediction, risk: float, max_modes: int):
+    """Probability-aware per-mode risk split for GMM predictions.
+
+    Allocates ``risk_j = risk / (M_active * p_j)`` (clipped to [1e-6, 0.49]) to
+    each active mode so the total violation probability is bounded:
+    ``sum_j p_j * risk_j <= risk``. Single-mode predictions get the full risk
+    (reference behavior). Modes with missing/zero probabilities fall back to a
+    uniform split. The reference rejects multi-mode input outright
+    (ros1_jackalsimulator.cpp:346-349); this is the TPU build's extension.
+    """
+    m_active = max(1, min(len(prediction.modes), max_modes))
+    if m_active == 1:
+        return [float(risk)]
+    probs = list(prediction.probabilities[:m_active])
+    if len(probs) < m_active or any(p <= 0.0 for p in probs):
+        probs = [1.0 / m_active] * m_active
+    total = sum(probs)
+    probs = [p / total for p in probs]
+    return [float(np.clip(risk / (m_active * p), 1e-6, 0.49)) for p in probs]
+
+
 def ego_disc_position(model_view, params, disc_id: int):
     """Position of ego collision disc ``disc_id`` given the current pose.
 

@@ -41,9 +41,13 @@ from .interpolation import interpolate_trajectory_by_elapsed_time
 
 @dataclass
 class MessageBus:
-    """In-process pub/sub standing in for the ROS topics between robots."""
+    """In-process pub/sub + request/reply standing in for the ROS topics and
+    services between robots."""
 
     subscribers: Dict[str, List[Callable]] = field(default_factory=dict)
+    # Trajectory service handlers: ns -> handler(requesting_ns, pose) ->
+    # Optional[TrajectoryMessage]  (GetOtherTrajectories.srv equivalent)
+    services: Dict[str, Callable] = field(default_factory=dict)
 
     def subscribe(self, ns: str, callback: Callable) -> None:
         self.subscribers.setdefault(ns, []).append(callback)
@@ -54,6 +58,27 @@ class MessageBus:
                 continue
             for cb in callbacks:
                 cb(msg)
+
+    def register_trajectory_service(self, ns: str, handler: Callable) -> None:
+        """Register this robot as a trajectory provider
+        (mpc_planner_msgs/srv/GetOtherTrajectories.srv: the reference exposes
+        /get_other_robot_obstacles_srv so a late-joining robot can PULL peers'
+        current plans instead of waiting for the next event-triggered push,
+        jules_ros1_jackalplanner_working_one.cpp:155)."""
+        self.services[ns] = handler
+
+    def request_trajectories(self, requesting_ns: str,
+                             requesting_pose: np.ndarray
+                             ) -> List[TrajectoryMessage]:
+        """Service call: collect every other robot's current trajectory."""
+        out: List[TrajectoryMessage] = []
+        for ns, handler in self.services.items():
+            if ns == requesting_ns:
+                continue
+            msg = handler(requesting_ns, requesting_pose)
+            if msg is not None:
+                out.append(msg)
+        return out
 
 
 class RobotAgent:
@@ -90,7 +115,9 @@ class RobotAgent:
         self._peer_namespaces: List[str] = []
         self._pose_received = True  # sim provides poses synchronously
         self.last_command = (0.0, 0.0)
+        self._last_trajectory_msg: Optional[TrajectoryMessage] = None
         bus.subscribe(ns, self._trajectory_callback)
+        bus.register_trajectory_service(ns, self._trajectory_service)
 
     # -- message handling (jules :522-680) ---------------------------------
     def set_peers(self, namespaces: List[str]) -> None:
@@ -113,6 +140,34 @@ class RobotAgent:
 
     def _have_all_peer_trajectories(self) -> bool:
         return all(ns in self._validated_peers for ns in self._peer_namespaces)
+
+    # -- trajectory service (GetOtherTrajectories.srv equivalent) ----------
+    def _trajectory_service(self, requesting_ns: str,
+                            requesting_pose: np.ndarray
+                            ) -> Optional[TrajectoryMessage]:
+        """Serve our current plan to a requesting (late-joining) peer. Falls
+        back to a braking rollout from the current state when nothing has been
+        broadcast yet, so the requester always gets a usable prediction."""
+        if self._last_trajectory_msg is not None:
+            return self._last_trajectory_msg
+        pos, ori = self._braking_trajectory()
+        return TrajectoryMessage(
+            robot_ns=self.ns, robot_index=self.index, positions=pos,
+            orientations=ori, radius=self.settings["robot_radius"],
+            dt=self.planner.solver.dt, stamp=self.clock(),
+            trigger_reason=CommunicationTriggerReason.NO_COMMUNICATION,
+            is_braking=True)
+
+    def request_peer_trajectories(self) -> int:
+        """Pull peers' current plans through the bus service (the reference's
+        /get_other_robot_obstacles_srv client call). Returns the number of
+        trajectories received; each is ingested through the normal validated
+        callback path."""
+        replies = self.bus.request_trajectories(
+            self.ns, self.state.get_position())
+        for msg in replies:
+            self._trajectory_callback(msg)
+        return len(replies)
 
     # -- obstacle preparation (jules :800-1065) ----------------------------
     def prepare_obstacle_data(self, external_obstacles=None) -> None:
@@ -174,9 +229,16 @@ class RobotAgent:
             if self.state.valid_data() or self._pose_received:
                 self.fsm = PlannerState.INITIALIZING_OBSTACLES
         elif fsm == PlannerState.INITIALIZING_OBSTACLES:
+            # Pull peers' current plans through the trajectory service first
+            # (late-joiner path, GetOtherTrajectories.srv) — peers that have
+            # not registered/answered stay dummies until their next push.
+            if self._peer_namespaces:
+                self.request_peer_trajectories()
             self.prepare_obstacle_data(external_obstacles)
-            self.fsm = (PlannerState.WAITING_FOR_TRAJECTORY_DATA
-                        if self._peer_namespaces else PlannerState.PLANNING_ACTIVE)
+            self.fsm = (PlannerState.PLANNING_ACTIVE
+                        if (not self._peer_namespaces
+                            or self._have_all_peer_trajectories())
+                        else PlannerState.WAITING_FOR_TRAJECTORY_DATA)
         elif fsm == PlannerState.WAITING_FOR_TRAJECTORY_DATA:
             # Plan conservatively while waiting; peers are dummies until valid
             output, communicated = self._plan_cycle(external_obstacles)
@@ -249,6 +311,7 @@ class RobotAgent:
                 trigger_reason=self.comm.trigger_reason,
                 is_braking=not output.success)
             self.bus.publish(self.ns, msg)
+            self._last_trajectory_msg = msg
             self.comm.last_send_time = self.clock()
             self.comm.last_communicated_trajectory = traj.copy()
             self.comm.n_sent += 1

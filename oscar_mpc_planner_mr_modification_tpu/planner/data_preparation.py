@@ -61,6 +61,27 @@ def get_constant_velocity_prediction(position, velocity, dt: float, steps: int,
     return pred
 
 
+def get_gmm_prediction(position, velocities, probabilities, dt: float,
+                       steps: int, noise: float = 0.0) -> Prediction:
+    """Multi-mode (GMM) constant-velocity prediction: one mode per velocity
+    hypothesis, weighted by ``probabilities``. The reference's message format
+    carries GMMs (mpc_planner_msgs/msg/ObstacleGMM.msg) but its callback rejects
+    >1 mode (ros1_jackalsimulator.cpp:346-349); the TPU build consumes them."""
+    position = np.asarray(position, dtype=float)
+    gaussian = noise > 0.0
+    pred = Prediction(
+        PredictionType.GAUSSIAN if gaussian else PredictionType.DETERMINISTIC,
+        modes=[], probabilities=list(probabilities))
+    for vel in velocities:
+        vel = np.asarray(vel, dtype=float)
+        pred.modes.append([
+            PredictionStep(position + vel * dt * i, 0.0, noise, noise)
+            for i in range(steps)])
+    if gaussian:
+        propagate_prediction_uncertainty(pred, dt, steps)
+    return pred
+
+
 def remove_distant_obstacles(obstacles: List[DynamicObstacle], state,
                              max_distance: float) -> List[DynamicObstacle]:
     """data_preparation.cpp:84-97."""
@@ -102,16 +123,20 @@ def ensure_obstacle_size(obstacles: List[DynamicObstacle], state, max_obstacles:
 
 def propagate_prediction_uncertainty(prediction: Prediction, dt: float, N: int
                                      ) -> None:
-    """sigma_k = sqrt(sigma_{k-1}^2 + (sigma*dt)^2) (data_preparation.cpp:175-191)."""
+    """sigma_k = sqrt(sigma_{k-1}^2 + (sigma*dt)^2) (data_preparation.cpp:175-191).
+
+    Applied to every GMM mode (the reference handles one; multi-mode is the
+    TPU build's extension)."""
     if prediction.type != PredictionType.GAUSSIAN:
         return
-    major = minor = 0.0
-    for k in range(min(N, len(prediction.modes[0]))):
-        step = prediction.modes[0][k]
-        major = np.sqrt(major**2 + (step.major_radius * dt) ** 2)
-        minor = np.sqrt(minor**2 + (step.minor_radius * dt) ** 2)
-        step.major_radius = major
-        step.minor_radius = minor
+    for mode in prediction.modes:
+        major = minor = 0.0
+        for k in range(min(N, len(mode))):
+            step = mode[k]
+            major = np.sqrt(major**2 + (step.major_radius * dt) ** 2)
+            minor = np.sqrt(minor**2 + (step.minor_radius * dt) ** 2)
+            step.major_radius = major
+            step.minor_radius = minor
 
 
 def propagate_all_uncertainty(obstacles: List[DynamicObstacle], dt: float, N: int

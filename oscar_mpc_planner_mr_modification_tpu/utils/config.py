@@ -84,7 +84,8 @@ def default_settings(**overrides) -> Config:
                 "enable_constraints": True,
                 "warmstart_with_mpc_solution": False,
             },
-            "probabilistic": {"enable": False, "risk": 0.05, "propagate_uncertainty": True},
+            "probabilistic": {"enable": False, "risk": 0.05,
+                              "propagate_uncertainty": True, "max_modes": 1},
             "weights": {
                 "goal": 1.0,
                 "velocity": 0.55,

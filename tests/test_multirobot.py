@@ -278,3 +278,48 @@ def test_three_robot_intersection():
     # Event-triggered comms saved bandwidth for everyone
     for a in agents:
         assert 0.0 < log.communication_rate(a.ns) < 0.95
+
+
+def test_trajectory_request_service_late_joiner():
+    """GetOtherTrajectories.srv equivalent: a late-joining robot PULLS peers'
+    current plans through the bus service during INITIALIZING_OBSTACLES and
+    skips the WAITING_FOR_TRAJECTORY_DATA push-wait (reference client:
+    jules_ros1_jackalplanner_working_one.cpp:155)."""
+    clock = FakeClock()
+    bus = MessageBus()
+    a1 = make_agent("r1", 0, bus, clock, (2.0, 0.0, 0.0), (8.0, 0.0))
+    a1.set_peers(["r1"])  # alone at first
+    # Let r1 plan and broadcast once
+    for _ in range(4):
+        a1.tick()
+        clock.t += 0.2
+    assert a1.fsm == PlannerState.PLANNING_ACTIVE
+    assert a1._last_trajectory_msg is not None
+
+    # r2 joins late; both now track each other
+    a2 = make_agent("r2", 1, bus, clock, (8.0, 1.2, np.pi), (2.0, 1.2))
+    a1.set_peers(["r1", "r2"])
+    a2.set_peers(["r1", "r2"])
+    states = []
+    for _ in range(3):
+        a2.tick()
+        states.append(a2.fsm)
+        clock.t += 0.2
+    # The service pull means r2 never blocks in WAITING_FOR_TRAJECTORY_DATA
+    assert PlannerState.WAITING_FOR_TRAJECTORY_DATA not in states
+    assert states[-1] == PlannerState.PLANNING_ACTIVE
+    assert "r1" in a2._peer_trajectories
+    np.testing.assert_allclose(a2._peer_trajectories["r1"].positions,
+                               a1._last_trajectory_msg.positions)
+
+    # A peer that has not planned yet serves a braking rollout (always usable)
+    bus2 = MessageBus()
+    clock2 = FakeClock()
+    b1 = make_agent("r1", 0, bus2, clock2, (0.0, 0.0, 0.0), (5.0, 0.0))
+    b2 = make_agent("r2", 1, bus2, clock2, (5.0, 0.0, np.pi), (0.0, 0.0))
+    b1.set_peers(["r1", "r2"])
+    b2.set_peers(["r1", "r2"])
+    replies = bus2.request_trajectories("r2", np.zeros(2))
+    assert len(replies) == 1 and replies[0].robot_ns == "r1"
+    assert replies[0].is_braking
+    assert np.all(np.isfinite(replies[0].positions))
