@@ -14,9 +14,26 @@ Layout contract (wrapper :func:`solve_qp_batched`):
   natural ``(8, 128)`` tile - no in-kernel relayout;
 - one grid program solves TILE_B = 1024 problems end-to-end (all ``n_iters``
   Mehrotra iterations + Riccati sweeps) in VMEM;
-- stage/row-structured bulk math runs on ``(T, m, ..., 8, 128)`` arrays; the
+- stage/row-structured bulk math runs on ``(T, ..., 8, 128)`` arrays; the
   sequential Riccati recursion is unrolled over the static horizon; all small
   contractions are explicit Python loops (pure VPU FMAs, no dot_general).
+
+Constraint-row capacity (the m axis): three structural levers keep large-m
+configurations (SH-MPC: 24 scenario halfspaces + slack + boxes = 40 rows;
+reference sizing mpc_planner_modules/scripts/scenario_constraints.py:14-94)
+inside VMEM:
+- *box rows* (one-sided variable bounds, exactly one +-1 entry) are treated
+  analytically via static (column, sign) metadata - no D storage, diagonal-only
+  Hbar updates, single-slice contractions;
+- the *stage activity mask* is a compile-time constant (it is identical for
+  every problem in the batch), so no mask input and no masked dead compute for
+  all-inactive rows;
+- per-iteration (T, m, 8, 128) temporaries are limited to three cached
+  residual/step families (r_ineq, affine ds, corrector ds); everything else is
+  recomputed row-wise from cheap elementwise identities.
+When the working-set estimate still exceeds the pipelined-VMEM budget the
+wrapper falls back to per-tile ``grid=(1,)`` calls under ``lax.map`` (single
+buffering; the lost DMA overlap is negligible - the kernel is compute-bound).
 
 Algorithm identical to :func:`.qp.solve_qp` (Mehrotra predictor-corrector, shared
 Riccati factorization, separate primal/dual fraction-to-boundary steps,
@@ -27,6 +44,9 @@ f32/TPU operating point (mu_min 1e-6, w_max 1e6).
 from __future__ import annotations
 
 import functools
+import types as _types
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +56,10 @@ from jax.experimental.pallas import tpu as pltpu
 SUBS = 8
 LANES = 128
 TILE_B = SUBS * LANES  # 1024 problems per grid program
+
+# Working-set budget for the pipelined (multi-buffer) path; above this the
+# wrapper switches to per-tile grid=(1,) calls (single buffering).
+_PIPELINE_VMEM_BYTES = 64 * 1024 * 1024
 
 
 # ---------------------------------------------------------------------------
@@ -109,57 +133,102 @@ def _spd_inv(M):
 # ---------------------------------------------------------------------------
 # Kernel
 # ---------------------------------------------------------------------------
-def _qp_kernel(H_ref, g_ref, A_ref, B_ref, c_ref, D_ref, e_ref, mask_ref, r0_ref,
-               z_ref, *, T, nz, nx, nu, m, n_iters, mu0, mu_min, tau, w_max,
-               s_floor, tol_freeze):
+def _qp_kernel(H_ref, g_ref, A_ref, B_ref, c_ref, D_ref, e_ref, r0_ref,
+               z_ref, *, T, nz, nx, nu, m, mh, row_meta, stage_mask, n_iters,
+               mu0, mu_min, tau, w_max, s_floor, tol_freeze):
     # Bulk loads; trailing dims are the (SUBS, LANES) batch tile
     Hb = H_ref[...].reshape(T, nz, nz, SUBS, LANES)
     gb = g_ref[...].reshape(T, nz, SUBS, LANES)
     Ab = A_ref[...].reshape(T - 1, nx, nx, SUBS, LANES)
     Bb = B_ref[...].reshape(T - 1, nx, nu, SUBS, LANES)
     cb = c_ref[...].reshape(T - 1, nx, SUBS, LANES)
-    Db = D_ref[...].reshape(T, m, nz, SUBS, LANES)
+    Db = D_ref[...].reshape(T, max(mh, 1), nz, SUBS, LANES)
     eb = e_ref[...].reshape(T, m, SUBS, LANES)
-    maskb = mask_ref[...].reshape(T, m, SUBS, LANES)
     r0b = r0_ref[...].reshape(nx, SUBS, LANES)
 
     dtype = Hb.dtype
+    # Static per-row stage-activity masks, synthesized in-kernel from iota
+    # run-length comparisons (pallas forbids captured array constants; the
+    # masks are 0/1 interval patterns over the stage axis)
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (T, 1, 1), 0)
 
-    def mat_at(V, k, rows, cols, row0=0, col0=0):
-        return [[V[k, row0 + i, col0 + j] for j in range(cols)]
-                for i in range(rows)]
+    def mask_const(col):
+        runs = []
+        t = 0
+        while t < T:
+            if col[t] > 0:
+                lo = t
+                while t < T and col[t] > 0:
+                    t += 1
+                runs.append((lo, t))
+            else:
+                t += 1
+        acc = None
+        for lo, hi in runs:
+            term = (iota_t >= lo) & (iota_t < hi)
+            acc = term if acc is None else acc | term
+        return jnp.where(acc, jnp.asarray(1.0, dtype), jnp.asarray(0.0, dtype))
+
+    masks = [mask_const(stage_mask[:, r]) if stage_mask[:, r].any() else None
+             for r in range(m)]
+    active = [bool(stage_mask[:, r].any()) for r in range(m)]
+    act_rows = [r for r in range(m) if active[r]]
+    n_act = max(float(stage_mask.sum()), 1.0)  # python scalar
 
     big = jnp.asarray(3e38, dtype)
     v0 = jnp.sqrt(jnp.asarray(mu0, dtype))
-    s_init = jnp.where(maskb > 0, jnp.maximum(eb, v0), 1.0)
-    lam_init = jnp.where(maskb > 0, mu0 / s_init, 0.0)
-    z0 = jnp.zeros((T, nz, SUBS, LANES), dtype)
-    n_act = jnp.maximum(jnp.sum(maskb, axis=(0, 1)), 1.0)  # (S, L)
 
-    def contract_nz(Dm, zv):
-        """sum_j Dm[t,m,j,S,L] * zv[t,j,S,L] -> (T, m, S, L)."""
-        acc = Dm[:, :, 0] * zv[:, 0][:, None]
-        for j in range(1, nz):
-            acc = acc + Dm[:, :, j] * zv[:, j][:, None]
+    def row_D(r):
+        """Generic-row coefficient tiles [(T,S,L)] * nz."""
+        j = row_meta[r][1]
+        return [Db[:, j, q] for q in range(nz)]
+
+    def row_Dz(r, zv):
+        """(D z)[row r] over all stages -> (T, S, L)."""
+        meta = row_meta[r]
+        if meta[0] == "box":
+            return meta[2] * zv[:, meta[1]]
+        j = meta[1]
+        acc = Db[:, j, 0] * zv[:, 0]
+        for q in range(1, nz):
+            acc = acc + Db[:, j, q] * zv[:, q]
         return acc
 
+    s_init = jnp.stack(
+        [jnp.where(masks[r] > 0, jnp.maximum(eb[:, r], v0),
+                   jnp.ones_like(eb[:, r])) if active[r]
+         else jnp.ones_like(eb[:, r]) for r in range(m)], axis=1)
+    lam_init = jnp.stack(
+        [jnp.where(masks[r] > 0, mu0 / s_init[:, r],
+                   jnp.zeros_like(eb[:, r])) if active[r]
+         else jnp.zeros_like(eb[:, r]) for r in range(m)], axis=1)
+    z0 = jnp.zeros((T, nz, SUBS, LANES), dtype)
+
     def factor(Hbar):
-        """Backward matrix sweep (unrolled). Returns per-stage factor lists."""
+        """Backward matrix sweep (unrolled). ``Hbar[i][q]`` is a (T,S,L) array;
+        returns per-stage factor lists."""
+        def hb_at(k, rows, cols, row0=0, col0=0):
+            return [[Hbar[row0 + i][col0 + q][k] for q in range(cols)]
+                    for i in range(rows)]
+
+        def mat_at(V, k, rows, cols):
+            return [[V[k, i, q] for q in range(cols)] for i in range(rows)]
+
         Ks = [None] * (T - 1)
         Linvs = [None] * (T - 1)
         Quxs = [None] * (T - 1)
         Pnexts = [None] * (T - 1)
-        P = mat_at(Hbar, T - 1, nx, nx, row0=nu, col0=nu)
+        P = hb_at(T - 1, nx, nx, row0=nu, col0=nu)
         for k in range(T - 2, -1, -1):
             A_k = mat_at(Ab, k, nx, nx)
             B_k = mat_at(Bb, k, nx, nu)
             PA = _matmul(P, A_k)
             PB = _matmul(P, B_k)
-            Quu = _madd(mat_at(Hbar, k, nu, nu),
+            Quu = _madd(hb_at(k, nu, nu),
                         _matmul(B_k, PB, transpose_a=True))
-            Qux = _madd(mat_at(Hbar, k, nu, nx, col0=nu),
+            Qux = _madd(hb_at(k, nu, nx, col0=nu),
                         _matmul(B_k, PA, transpose_a=True))
-            Qxx = _madd(mat_at(Hbar, k, nx, nx, row0=nu, col0=nu),
+            Qxx = _madd(hb_at(k, nx, nx, row0=nu, col0=nu),
                         _matmul(A_k, PA, transpose_a=True))
             Linv = _spd_inv(Quu)
             K = [[-v for v in row] for row in _matmul(Linv, Qux)]
@@ -171,19 +240,22 @@ def _qp_kernel(H_ref, g_ref, A_ref, B_ref, c_ref, D_ref, e_ref, mask_ref, r0_ref
         return Ks, Linvs, Quxs, Pnexts
 
     def solve_vec(fact, gbar, rd, r0_res):
-        """Vector sweep + forward rollout. gbar: (T,nz,S,L); rd: (T-1,nx,S,L);
-        r0_res: list of nx (S,L). Returns dz (T,nz,S,L)."""
+        """Vector sweep + forward rollout. gbar: [(T,S,L)] * nz; rd:
+        (T-1,nx,S,L); r0_res: list of nx (S,L). Returns dz (T,nz,S,L)."""
+        def mat_at(V, k, rows, cols):
+            return [[V[k, i, q] for q in range(cols)] for i in range(rows)]
+
         Ks, Linvs, Quxs, Pnexts = fact
-        p = [gbar[T - 1, nu + i] for i in range(nx)]
+        p = [gbar[nu + i][T - 1] for i in range(nx)]
         kffs = [None] * (T - 1)
         for k in range(T - 2, -1, -1):
             A_k = mat_at(Ab, k, nx, nx)
             B_k = mat_at(Bb, k, nx, nu)
             c_k = [rd[k, i] for i in range(nx)]
             beta = _vadd(p, _matvec(Pnexts[k], c_k))
-            qu = _vadd([gbar[k, i] for i in range(nu)],
+            qu = _vadd([gbar[i][k] for i in range(nu)],
                        _matvec(B_k, beta, transpose_a=True))
-            qx = _vadd([gbar[k, nu + i] for i in range(nx)],
+            qx = _vadd([gbar[nu + i][k] for i in range(nx)],
                        _matvec(A_k, beta, transpose_a=True))
             kff = [-v for v in _matvec(Linvs[k], qu)]
             p = _vadd(qx, _matvec(Quxs[k], kff, transpose_a=True))
@@ -200,25 +272,44 @@ def _qp_kernel(H_ref, g_ref, A_ref, B_ref, c_ref, D_ref, e_ref, mask_ref, r0_ref
         dz_rows.append(jnp.stack([jnp.zeros_like(dx[0])] * nu + dx))
         return jnp.stack(dz_rows)  # (T, nz, S, L)
 
-    def ftb(v, dv):
+    def ftb_row(r, v, dv):
+        """Fraction-to-boundary per row -> (S, L) min over stages."""
         ratio = jnp.where(dv < 0, -v / jnp.minimum(dv, -1e-30), big)
-        ratio = jnp.where(maskb > 0, ratio, big)
-        return jnp.min(ratio, axis=(0, 1))  # (S, L)
+        ratio = jnp.where(masks[r] > 0, ratio, big)
+        return jnp.min(ratio, axis=0)
 
     def body(it, carry):
         z, s, lam = carry
-        Dz_e = contract_nz(Db, z) + eb  # (T, m, S, L)
-        r_ineq = Dz_e - s
-        W = jnp.minimum(maskb * lam / s, w_max)
-        # Hbar = H + D^T W D, accumulated row-by-row over m (keeps VMEM low:
-        # no (T, m, nz, nz, S, L) or (T, m, nz, S, L) intermediates)
-        Hbar = Hb
-        for mm_i in range(m):
-            Db_m = Db[:, mm_i]  # (T, nz, S, L)
-            DW_m = Db_m * W[:, mm_i][:, None]
-            Hbar = Hbar + DW_m[:, :, None] * Db_m[:, None, :]
+
+        # ---- Pass A: residuals, W, Hbar accumulation, comp, feas ---------
+        # Hbar as nested [i][q] lists of (T,S,L) so diagonal (box) updates and
+        # outer-product (generic) updates are slice-local, no scatter.
+        Hbar = [[Hb[:, i, q] for q in range(nz)] for i in range(nz)]
+        rin_rows = [None] * m  # cached residuals r_ineq (one (T,S,L) per row)
+        comp = None
+        feas = None
+        for r in act_rows:
+            rin = row_Dz(r, z) + eb[:, r] - s[:, r]
+            rin_rows[r] = rin
+            W_r = jnp.minimum(masks[r] * lam[:, r] / s[:, r], w_max)
+            meta = row_meta[r]
+            if meta[0] == "box":
+                col = meta[1]  # sign^2 == 1
+                Hbar[col][col] = Hbar[col][col] + W_r
+            else:
+                D_r = row_D(r)
+                for i in range(nz):
+                    DW_i = D_r[i] * W_r
+                    for q in range(nz):
+                        Hbar[i][q] = Hbar[i][q] + DW_i * D_r[q]
+            c_r = jnp.sum(masks[r] * s[:, r] * lam[:, r], axis=0)
+            comp = c_r if comp is None else comp + c_r
+            f_r = jnp.max(jnp.abs(masks[r] * rin), axis=0)
+            feas = f_r if feas is None else jnp.maximum(feas, f_r)
+        comp = comp / n_act
         fact = factor(Hbar)
 
+        # ---- equality residuals (dynamics defects + initial condition) ---
         du = z[:-1, :nu]
         dx = z[:-1, nu:]
         dx_next = z[1:, nu:]
@@ -233,54 +324,114 @@ def _qp_kernel(H_ref, g_ref, A_ref, B_ref, c_ref, D_ref, e_ref, mask_ref, r0_ref
         rd = jnp.stack(rd_parts, axis=1)  # (T-1, nx, S, L)
         r0_res = [r0b[i] - z[0, nu + i] for i in range(nx)]
 
-        Hz_parts = []
+        Hz_g = []
         for i in range(nz):
             acc = gb[:, i]
             for j in range(nz):
                 acc = acc + Hb[:, i, j] * z[:, j]
-            Hz_parts.append(acc)
-        Hz_g = jnp.stack(Hz_parts, axis=1)  # (T, nz, S, L)
+            Hz_g.append(acc)  # [(T,S,L)] * nz
 
-        def newton(rhs3):
-            w_vec = maskb * (lam * r_ineq - rhs3) / s
-            gbar = Hz_g
-            for mm_i in range(m):
-                gbar = gbar + Db[:, mm_i] * w_vec[:, mm_i][:, None]
-            dz = solve_vec(fact, gbar, rd, r0_res)
-            ds = contract_nz(Db, dz) + r_ineq
-            dlam = (rhs3 - s * lam) / s - (lam / s) * ds
-            ds = jnp.where(maskb > 0, ds, 0.0)
-            dlam = jnp.where(maskb > 0, dlam, 0.0)
-            return dz, ds, dlam
+        def gbar_accum(rhs3_rows):
+            """gbar = Hz+g + sum_r D_r^T w_r with w_r = mask (lam rin - rhs3)/s."""
+            gbar = [x for x in Hz_g]
+            for r in act_rows:
+                rhs3_r = rhs3_rows[r] if rhs3_rows is not None else 0.0
+                w_vec = (masks[r] * (lam[:, r] * rin_rows[r] - rhs3_r)
+                         / s[:, r])
+                meta = row_meta[r]
+                if meta[0] == "box":
+                    col, sign = meta[1], meta[2]
+                    gbar[col] = gbar[col] + sign * w_vec
+                else:
+                    D_r = row_D(r)
+                    for i in range(nz):
+                        gbar[i] = gbar[i] + D_r[i] * w_vec
+            return gbar
 
-        comp = jnp.sum(maskb * s * lam, axis=(0, 1)) / n_act  # (S, L)
+        def dlam_of(r, rhs3_r, ds_r):
+            d = (rhs3_r - s[:, r] * lam[:, r]) / s[:, r] \
+                - (lam[:, r] / s[:, r]) * ds_r
+            return jnp.where(masks[r] > 0, d, 0.0)
 
-        dz_a, ds_a, dlam_a = newton(jnp.zeros_like(s))
-        alpha_aff = jnp.minimum(1.0, jnp.minimum(ftb(s, ds_a), ftb(lam, dlam_a)))
-        s_aff = s + alpha_aff[None, None] * ds_a
-        lam_aff = lam + alpha_aff[None, None] * dlam_a
-        comp_aff = jnp.sum(maskb * s_aff * lam_aff, axis=(0, 1)) / n_act
+        # ---- affine (predictor) step -------------------------------------
+        dz_a = solve_vec(fact, gbar_accum(None), rd, r0_res)
+        ds_a_rows = [None] * m
+        alpha_aff = None
+        for r in act_rows:
+            ds_a = row_Dz(r, dz_a) + rin_rows[r]
+            ds_a = jnp.where(masks[r] > 0, ds_a, 0.0)
+            ds_a_rows[r] = ds_a
+            dlam_a = dlam_of(r, 0.0, ds_a)
+            a_r = jnp.minimum(ftb_row(r, s[:, r], ds_a),
+                              ftb_row(r, lam[:, r], dlam_a))
+            alpha_aff = a_r if alpha_aff is None else jnp.minimum(alpha_aff,
+                                                                  a_r)
+        alpha_aff = jnp.minimum(1.0, alpha_aff)
+
+        comp_aff = None
+        for r in act_rows:
+            dlam_a = dlam_of(r, 0.0, ds_a_rows[r])
+            s_aff = s[:, r] + alpha_aff[None] * ds_a_rows[r]
+            lam_aff = lam[:, r] + alpha_aff[None] * dlam_a
+            c_r = jnp.sum(masks[r] * s_aff * lam_aff, axis=0)
+            comp_aff = c_r if comp_aff is None else comp_aff + c_r
+        comp_aff = comp_aff / n_act
         sigma = jnp.clip((comp_aff / jnp.maximum(comp, 1e-30)) ** 3, 1e-8, 1.0)
         mu = jnp.maximum(sigma * comp, mu_min)  # (S, L)
-        rhs3 = mu[None, None] - ds_a * dlam_a
-        dz, ds, dlam = newton(rhs3)
 
-        alpha_p = jnp.minimum(1.0, tau * ftb(s, ds))  # (S, L)
-        alpha_d = jnp.minimum(1.0, tau * ftb(lam, dlam))
+        # ---- corrector step ----------------------------------------------
+        rhs3_rows = [None] * m
+        for r in act_rows:
+            dlam_a = dlam_of(r, 0.0, ds_a_rows[r])
+            rhs3_rows[r] = mu[None] - ds_a_rows[r] * dlam_a
+        dz = solve_vec(fact, gbar_accum(rhs3_rows), rd, r0_res)
 
-        feas = jnp.max(jnp.abs(maskb * r_ineq), axis=(0, 1))
+        ds_rows = [None] * m
+        alpha_p = None
+        alpha_d = None
+        nan_acc = jnp.sum(dz, axis=(0, 1))
+        for r in act_rows:
+            ds_r = row_Dz(r, dz) + rin_rows[r]
+            ds_r = jnp.where(masks[r] > 0, ds_r, 0.0)
+            ds_rows[r] = ds_r
+            dlam_r = dlam_of(r, rhs3_rows[r], ds_r)
+            nan_acc = nan_acc + jnp.sum(dlam_r, axis=0)
+            ap = ftb_row(r, s[:, r], ds_r)
+            ad = ftb_row(r, lam[:, r], dlam_r)
+            alpha_p = ap if alpha_p is None else jnp.minimum(alpha_p, ap)
+            alpha_d = ad if alpha_d is None else jnp.minimum(alpha_d, ad)
+        alpha_p = jnp.minimum(1.0, tau * alpha_p)  # (S, L)
+        alpha_d = jnp.minimum(1.0, tau * alpha_d)
+
         eqr = jnp.max(jnp.abs(rd), axis=(0, 1))
         eqr = jnp.maximum(eqr, jnp.max(jnp.abs(jnp.stack(r0_res)), axis=0))
         done = ((comp < tol_freeze) & (feas < 100.0 * tol_freeze)
                 & (eqr < 100.0 * tol_freeze))
-        bad = jnp.isnan(jnp.sum(dz, axis=(0, 1)) + jnp.sum(dlam, axis=(0, 1)))
+        bad = jnp.isnan(nan_acc)
         scale = jnp.where(done | bad, 0.0, 1.0)  # (S, L)
-        alpha_p = (alpha_p * scale)[None, None]
-        alpha_d = (alpha_d * scale)[None, None]
+        alpha_p = (alpha_p * scale)[None]
+        alpha_d = (alpha_d * scale)[None]
 
-        z = z + alpha_p * dz
-        s = jnp.where(maskb > 0, jnp.maximum(s + alpha_p * ds, s_floor), 1.0)
-        lam = jnp.where(maskb > 0, jnp.maximum(lam + alpha_d * dlam, 0.0), 0.0)
+        z = z + alpha_p[None] * dz
+        s_new = []
+        lam_new = []
+        for r in range(m):
+            if not active[r]:
+                s_new.append(s[:, r])
+                lam_new.append(lam[:, r])
+                continue
+            dlam_r = dlam_of(r, rhs3_rows[r], ds_rows[r])
+            s_r = jnp.where(masks[r] > 0,
+                            jnp.maximum(s[:, r] + alpha_p * ds_rows[r],
+                                        s_floor),
+                            jnp.ones_like(s[:, r]))
+            l_r = jnp.where(masks[r] > 0,
+                            jnp.maximum(lam[:, r] + alpha_d * dlam_r, 0.0),
+                            jnp.zeros_like(lam[:, r]))
+            s_new.append(s_r)
+            lam_new.append(l_r)
+        s = jnp.stack(s_new, axis=1)
+        lam = jnp.stack(lam_new, axis=1)
         return z, s, lam
 
     z, s, lam = jax.lax.fori_loop(0, n_iters, body, (z0, s_init, lam_init))
@@ -290,74 +441,197 @@ def _qp_kernel(H_ref, g_ref, A_ref, B_ref, c_ref, D_ref, e_ref, mask_ref, r0_ref
 # ---------------------------------------------------------------------------
 # Wrapper
 # ---------------------------------------------------------------------------
-@functools.partial(jax.jit, static_argnames=(
-    "nu", "n_iters", "mu0", "mu_min", "tau", "w_max", "s_floor", "tol_freeze",
-    "interpret"))
+@functools.lru_cache(maxsize=64)
+def _make_solver(shape_key, mask_bytes, row_meta, nu, n_iters, mu0, mu_min,
+                 tau, w_max, s_floor, tol_freeze, interpret, dtype_str):
+    Bt, T, nz, nx, m = shape_key
+    dtype = jnp.dtype(dtype_str)
+    stage_mask = np.frombuffer(mask_bytes, dtype=np.float64).reshape(T, m)
+    if row_meta is None:
+        row_meta = tuple(("h", r) for r in range(m))
+    h_rows = [r for r, meta in enumerate(row_meta) if meta[0] == "h"]
+    # Re-map generic rows to their (compacted) D storage slots
+    row_meta = tuple(
+        ("h", h_rows.index(r)) if meta[0] == "h" else meta
+        for r, meta in enumerate(row_meta))
+    mh = len(h_rows)
+    h_idx = np.asarray(h_rows, dtype=np.int64)
+
+    pad = (-Bt) % TILE_B
+    Bp = Bt + pad
+    n_tiles = Bp // TILE_B
+
+    itemsize = dtype.itemsize
+    fields_in = (T * nz * nz + T * nz + (T - 1) * nx * nx + (T - 1) * nx * nu
+                 + (T - 1) * nx + T * max(mh, 1) * nz + T * m + nx)
+    # Rough per-tile working set: inputs + 3 cached (T,m) row families +
+    # s/lam state + Hbar + factor lists + a few (T,nz) vectors
+    work_fields = (fields_in + 5 * T * m + 2 * T * nz * nz
+                   + (T - 1) * (2 * nu * nx + nu * nu + nx * nx) + 8 * T * nz)
+    est_bytes = work_fields * SUBS * LANES * itemsize
+    chunked = est_bytes > _PIPELINE_VMEM_BYTES and n_tiles > 1
+
+    kernel = functools.partial(
+        _qp_kernel, T=T, nz=nz, nx=nx, nu=nu, m=m, mh=mh,
+        row_meta=row_meta, stage_mask=stage_mask, n_iters=n_iters, mu0=mu0,
+        mu_min=mu_min, tau=tau, w_max=w_max, s_floor=s_floor,
+        tol_freeze=tol_freeze)
+
+    in_fields = [T * nz * nz, T * nz, (T - 1) * nx * nx, (T - 1) * nx * nu,
+                 (T - 1) * nx, T * max(mh, 1) * nz, T * m, nx]
+    out_fields = T * nz
+
+    def make_call(grid_tiles):
+        def spec(fields):
+            return pl.BlockSpec((fields, SUBS, LANES), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)
+
+        return pl.pallas_call(
+            kernel,
+            grid=(grid_tiles,),
+            in_specs=[spec(f) for f in in_fields],
+            out_specs=spec(out_fields),
+            out_shape=jax.ShapeDtypeStruct(
+                (out_fields, grid_tiles * SUBS, LANES), dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 1024 * 1024),
+            interpret=interpret,
+        )
+
+    def call_lanes(ins):
+        """ins: 8 arrays (fields_i, Bp//LANES, LANES) -> (T*nz, Bp//LANES, LANES)."""
+        if not chunked:
+            return make_call(n_tiles * 1)(*ins)
+        call = make_call(1)
+        # (fields, n_tiles, SUBS, LANES) -> map over tiles, single-buffered
+        stacked = [x.reshape(f, n_tiles, SUBS, LANES).swapaxes(0, 1)
+                   for x, f in zip(ins, in_fields)]
+        z_t = jax.lax.map(lambda xs: call(*xs), tuple(stacked))
+        return z_t.swapaxes(0, 1).reshape(out_fields, Bp // LANES, LANES)
+
+    @jax.jit
+    def solve(H, g, A, B, c, D, e, r0):
+        def to_lanes(x, fields, pad_rows=None):
+            x = x.reshape(Bt, fields)
+            if pad:
+                filler = (jnp.zeros((pad, fields), dtype) if pad_rows is None
+                          else jnp.tile(pad_rows[None], (pad, 1)))
+                x = jnp.concatenate([x, filler], axis=0)
+            # (fields, B//LANES, LANES): grid tiles the middle axis by SUBS
+            return x.T.reshape(fields, Bp // LANES, LANES)
+
+        if mh:
+            D_h = D[:, :, h_idx, :]
+        else:
+            D_h = jnp.zeros((Bt, T, 1, nz), dtype)
+        H_pad = jnp.tile(jnp.eye(nz, dtype=dtype)[None], (T, 1, 1)).reshape(-1)
+        ins = [
+            to_lanes(H.astype(dtype), in_fields[0], pad_rows=H_pad),
+            to_lanes(g.astype(dtype), in_fields[1]),
+            to_lanes(A.astype(dtype), in_fields[2]),
+            to_lanes(B.astype(dtype), in_fields[3]),
+            to_lanes(c.astype(dtype), in_fields[4]),
+            to_lanes(D_h.astype(dtype), in_fields[5]),
+            to_lanes(e.astype(dtype), in_fields[6],
+                     pad_rows=jnp.ones((T * m,), dtype)),
+            to_lanes(r0.astype(dtype), in_fields[7]),
+        ]
+        z_l = call_lanes(ins)
+        z = z_l.reshape(T * nz, Bp).T[:Bt].reshape(Bt, T, nz)
+        return z
+
+    @jax.jit
+    def solve_lanes(H, g, A, B, c, D, e, r0):
+        """Lane-layout entry: inputs carry the batch on the TRAILING axis
+        (H (T,nz,nz,Bt), g (T,nz,Bt), A (T-1,nx,nx,Bt), B (T-1,nx,nu,Bt),
+        c (T-1,nx,Bt), D (T,mh,nz,Bt) generic rows only, e (T,m,Bt),
+        r0 (nx,Bt)) and the result is (T, nz, Bt). No transposes anywhere:
+        field-major reshapes only (the ops/linearize.py pipeline)."""
+        def lanes(x, fields):
+            x = x.astype(dtype).reshape(fields, Bt)
+            if pad:
+                # Edge-pad with the last real problem: padded lanes stay
+                # finite and converge (values are sliced away below).
+                x = jnp.concatenate(
+                    [x, jnp.broadcast_to(x[:, -1:], (fields, pad))], axis=1)
+            return x.reshape(fields, Bp // LANES, LANES)
+
+        ins = [lanes(H, in_fields[0]), lanes(g, in_fields[1]),
+               lanes(A, in_fields[2]), lanes(B, in_fields[3]),
+               lanes(c, in_fields[4]), lanes(D, in_fields[5]),
+               lanes(e, in_fields[6]), lanes(r0, in_fields[7])]
+        z_l = call_lanes(ins)
+        return z_l.reshape(T, nz, Bp)[:, :, :Bt]
+
+    return _types.SimpleNamespace(solve=solve, solve_lanes=solve_lanes)
+
+
 def solve_qp_batched(H, g, A, B, c, D, e, row_mask, r0, *, nu: int,
                      n_iters: int = 12, mu0: float = 1e2, mu_min: float = 1e-6,
                      tau: float = 0.995, w_max: float = 1e6,
                      s_floor: float = 1e-10, tol_freeze: float = 1e-5,
-                     interpret: bool = False):
+                     interpret: bool = False, row_meta=None):
     """Batched QP solve via the fused kernel.
 
     Inputs carry a leading batch axis: H (Bt,T,nz,nz), g (Bt,T,nz),
     A (Bt,T-1,nx,nx), B (Bt,T-1,nx,nu), c (Bt,T-1,nx), D (Bt,T,m,nz),
-    e (Bt,T,m), row_mask (T,m) or (Bt,T,m), r0 (Bt,nx). Returns z (Bt,T,nz).
+    e (Bt,T,m), r0 (Bt,nx). Returns z (Bt,T,nz).
+
+    ``row_mask`` is the static per-(stage,row) activity mask, (T,m) — it must
+    be CONCRETE (identical for every problem; it describes the OCP structure,
+    not the data). A (Bt,T,m) array with identical batch entries is accepted.
+    ``row_meta`` optionally tags each row: ``("box", col, sign)`` for one-hot
+    variable-bound rows (kept out of D storage), ``("h", _)`` or None for
+    generic rows.
     """
     Bt, T, nz, _ = H.shape
     nx = A.shape[-1]
     m = D.shape[2]
-    dtype = H.dtype
+    try:
+        mask_np = np.asarray(row_mask, dtype=np.float64)
+    except Exception as exc:  # traced mask: structural info must be static
+        raise TypeError(
+            "row_mask must be a concrete (T, m) array (the static OCP row "
+            "structure), not a traced value") from exc
+    if mask_np.ndim == 3:
+        mask_np = mask_np[0]
+    if row_meta is not None:
+        row_meta = tuple(tuple(meta) for meta in row_meta)
+    solver = _make_solver(
+        (Bt, T, nz, nx, m), mask_np.tobytes(), row_meta, nu, n_iters, mu0,
+        mu_min, tau, w_max, s_floor, tol_freeze, interpret,
+        jnp.dtype(H.dtype).name)
+    return solver.solve(H, g, A, B, c, D, e, r0)
 
-    if row_mask.ndim == 2:
-        row_mask = jnp.broadcast_to(row_mask[None], (Bt, T, m))
 
-    pad = (-Bt) % TILE_B
-    Bp = Bt + pad
+def solve_qp_lanes(lane_qp, stage_mask, *, nu: int, n_iters: int = 12,
+                   mu0: float = 1e2, mu_min: float = 1e-6, tau: float = 0.995,
+                   w_max: float = 1e6, s_floor: float = 1e-10,
+                   tol_freeze: float = 1e-5, interpret: bool = False,
+                   row_meta=None):
+    """Batched QP solve on lane-layout fields (batch on the TRAILING axis).
 
-    def to_lanes(x, fields, pad_rows=None):
-        x = x.reshape(Bt, fields)
-        if pad:
-            filler = (jnp.zeros((pad, fields), dtype) if pad_rows is None
-                      else jnp.tile(pad_rows[None], (pad, 1)))
-            x = jnp.concatenate([x, filler], axis=0)
-        # (fields, B//LANES, LANES): the grid tiles the middle axis by SUBS
-        return x.T.reshape(fields, Bp // LANES, LANES)
-
-    H_pad = jnp.tile(jnp.eye(nz, dtype=dtype)[None], (T, 1, 1)).reshape(-1)
-    H_l = to_lanes(H, T * nz * nz, pad_rows=H_pad)
-    g_l = to_lanes(g, T * nz)
-    A_l = to_lanes(A, (T - 1) * nx * nx)
-    B_l = to_lanes(B, (T - 1) * nx * nu)
-    c_l = to_lanes(c, (T - 1) * nx)
-    D_l = to_lanes(D, T * m * nz)
-    e_l = to_lanes(e, T * m, pad_rows=jnp.ones((T * m,), dtype))
-    mask_l = to_lanes(row_mask.astype(dtype), T * m)
-    r0_l = to_lanes(r0, nx)
-
-    kernel = functools.partial(
-        _qp_kernel, T=T, nz=nz, nx=nx, nu=nu, m=m, n_iters=n_iters, mu0=mu0,
-        mu_min=mu_min, tau=tau, w_max=w_max, s_floor=s_floor,
-        tol_freeze=tol_freeze)
-
-    grid = (Bp // TILE_B,)
-
-    def spec(fields):
-        return pl.BlockSpec((fields, SUBS, LANES), lambda i: (0, i, 0),
-                            memory_space=pltpu.VMEM)
-
-    z_l = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[spec(T * nz * nz), spec(T * nz), spec((T - 1) * nx * nx),
-                  spec((T - 1) * nx * nu), spec((T - 1) * nx), spec(T * m * nz),
-                  spec(T * m), spec(T * m), spec(nx)],
-        out_specs=spec(T * nz),
-        out_shape=jax.ShapeDtypeStruct((T * nz, Bp // LANES, LANES), dtype),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
-        interpret=interpret,
-    )(H_l, g_l, A_l, B_l, c_l, D_l, e_l, mask_l, r0_l)
-
-    z = z_l.reshape(T * nz, Bp).T[:Bt].reshape(Bt, T, nz)
-    return z
+    ``lane_qp`` is an :class:`..linearize.LaneQP` (or any namedtuple with the
+    same fields/layouts); ``D`` carries the compacted GENERIC rows only, in
+    ``row_meta`` order. Returns the step ``dz`` as (T, nz, Bt). This is the
+    zero-relayout path used by the fleet solver's lane pipeline: the
+    linearizer emits these layouts directly and the kernel consumes them with
+    field-major reshapes only."""
+    T, nz, _, Bt = lane_qp.H.shape
+    nx = lane_qp.A.shape[1]
+    m = lane_qp.e.shape[1]
+    mask_np = np.asarray(stage_mask, dtype=np.float64)
+    if row_meta is not None:
+        row_meta = tuple(tuple(meta) for meta in row_meta)
+        mh = sum(1 for meta in row_meta if meta[0] == "h")
+    else:
+        mh = m
+    assert lane_qp.D.shape[1] == max(mh, 1), (
+        f"lane D must carry the {mh} generic rows only, got "
+        f"{lane_qp.D.shape[1]}")
+    solver = _make_solver(
+        (Bt, T, nz, nx, m), mask_np.tobytes(), row_meta, nu, n_iters, mu0,
+        mu_min, tau, w_max, s_floor, tol_freeze, interpret,
+        jnp.dtype(lane_qp.H.dtype).name)
+    return solver.solve_lanes(lane_qp.H, lane_qp.g, lane_qp.A, lane_qp.B,
+                              lane_qp.c, lane_qp.D, lane_qp.e, lane_qp.r0)

@@ -91,3 +91,92 @@ def test_fleet_sqp_pallas_backend_matches_xla_backend():
                                np.asarray(r_xla.z)[:, :-1], atol=1e-4)
     np.testing.assert_allclose(np.asarray(r_pal.cost), np.asarray(r_xla.cost),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_kernel_large_m_with_box_rows():
+    """SH-MPC-sized row count (24 generic halfspaces + 16 box rows = m=40,
+    the scenario_constraints sizing, reference scripts/scenario_constraints.py:
+    14-94) through the kernel's box-row specialization + static-mask path.
+    Parity vs the XLA solver in interpret mode."""
+    rng = np.random.default_rng(3)
+    T, nx, nu, m_h, m_box = 5, 3, 2, 24, 16
+    nz = nu + nx
+    m = m_h + m_box
+    _, raw = random_qp(3, T=T, nx=nx, nu=nu, m=m_h)
+    H, g, A, B, c, D_h, e_h, mask_h, r0 = raw
+    # 24 random halfspaces with unscaled normals make the feasible set empty/
+    # degenerate (neither solver converges and stall points differ): scale the
+    # normals down and pad the offsets so the set is comfortably nonempty with
+    # a few active rows — the SH-MPC geometry (halfspaces bound a free-space
+    # polytope AROUND the trajectory, never a random arrangement).
+    D_h = 0.25 * D_h
+    e_h = e_h + 1.0
+    # Append box rows: alternating lower/upper bounds on each variable
+    D = np.zeros((T, m, nz))
+    e = np.ones((T, m))
+    mask = np.ones((T, m))
+    D[:, :m_h] = D_h
+    e[:, :m_h] = e_h
+    mask[:, :m_h] = mask_h
+    row_meta = [("h", 0)] * m_h
+    bounds = rng.uniform(1.0, 3.0, size=m_box)
+    for j in range(m_box):
+        col = j % nz
+        sign = 1.0 if j % 2 == 0 else -1.0
+        D[:, m_h + j, col] = sign
+        e[:, m_h + j] = bounds[j]  # z=0 feasible
+        row_meta.append(("box", col, sign))
+    mask[-1] = 0.0
+    mask[0, [m_h + 2, m_h + 3]] = 0.0  # a partially-masked box row pair
+
+    raws = [(H, g, A, B, c, D, e, mask, r0)]
+    # A second instance with a handful of tightened rows (active at optimum)
+    _, raw2 = random_qp(5, T=T, nx=nx, nu=nu, m=m_h)
+    H2, g2, A2, B2, c2, D_h2, e_h2, _, r02 = raw2
+    D2, e2 = D.copy(), e.copy()
+    D2[:, :m_h] = 0.25 * D_h2
+    e2[:, :m_h] = e_h2 + 1.0
+    e2[:, :4] = np.where(mask_h[:, :4] > 0, e_h2[:, :4] - 0.45,
+                         e2[:, :4])
+    raws.append((H2, g2, A2, B2, c2, D2, e2, mask, r02))
+
+    batch = [np.stack([raw[i] for raw in raws]) for i in range(9)]
+    Hb, gb, Ab, Bb, cb, Db, eb, maskb, r0b = [jnp.asarray(x) for x in batch]
+
+    z_pallas = solve_qp_batched(
+        Hb, gb, Ab, Bb, cb, Db, eb, mask, r0b, nu=nu, n_iters=30,
+        mu_min=1e-11, w_max=1e14, s_floor=1e-12, tol_freeze=1e-10,
+        interpret=True, row_meta=tuple(row_meta))
+    for b, raw in enumerate(raws):
+        qp = QPData(*[jnp.asarray(x) for x in raw])
+        sol = solve_qp(qp, nu=nu, n_iters=30, mu_min=1e-11)
+        assert float(sol.comp) < 1e-6, (
+            f"reference solve did not converge (element {b}): ill-posed test")
+        z_ref = np.asarray(sol.z)
+        z_k = np.asarray(z_pallas[b])
+        np.testing.assert_allclose(z_k[:-1], z_ref[:-1], atol=1e-4,
+                                   err_msg=f"batch element {b}")
+        # Box-row feasibility at the solution (active stages)
+        for j, meta in enumerate(row_meta):
+            if meta[0] != "box":
+                continue
+            col, sign = meta[1], meta[2]
+            slack = sign * z_k[:, col] + np.asarray(eb[b])[:, j]
+            act = mask[:, j] > 0
+            assert (slack[act] > -1e-6).all(), f"box row {j} violated"
+
+
+def test_kernel_capacity_cliffs_are_explicit():
+    """The kernel's nu<=3 closed-form-inverse limit must fail loudly (not
+    silently wrong) — the config-dependent fast-path edge from round 1."""
+    import pytest as _pytest
+
+    from oscar_mpc_planner_mr_modification_tpu.ops.qp_pallas import _spd_inv
+
+    with _pytest.raises(NotImplementedError):
+        _spd_inv([[1.0] * 4] * 4)
+    # All reference models fit: nu=2 (unicycle), nu=3 (slack variants)
+    for n in (1, 2, 3):
+        out = _spd_inv([[2.0 if i == j else 0.0 for j in range(n)]
+                        for i in range(n)])
+        assert len(out) == n
