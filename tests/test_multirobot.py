@@ -247,6 +247,66 @@ def test_sharded_fleet_step_on_virtual_mesh():
     np.testing.assert_allclose(np.asarray(best_idx), np.asarray(ref.best_index))
 
 
+def test_sharded_fleet_step_communication_is_o_shards():
+    """Scaling-efficiency evidence on the virtual mesh: the compiled sharded
+    step's cross-device communication must be ONLY the two-phase champion
+    selection (O(shards) bytes per instance), never the O(P) fleet arrays.
+
+    A wall-clock 8-dev/1-dev throughput ratio is not measurable on a virtual
+    CPU mesh (all "devices" share the same physical cores, and XLA:CPU already
+    uses every core for one device); what determines real multi-chip scaling is
+    that per-device compute is the full local block and collectives move only
+    champion bytes over ICI. That property is asserted here on the compiled
+    HLO. (Reference analog: the OpenMP fan-out shares memory and communicates
+    one winner index, guidance_constraints.cpp:572-590.)"""
+    import re
+
+    import jax
+
+    from oscar_mpc_planner_mr_modification_tpu.benchmarks import (
+        build_tmpc_fleet, tmpc_bench_ocp)
+    from oscar_mpc_planner_mr_modification_tpu.parallel.mesh import (
+        make_mesh, make_sharded_tmpc_step, shard_fleet_arrays)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    N, n_paths, B = 10, 8, 16
+    ocp, settings = tmpc_bench_ocp(N=N, n_paths=n_paths)
+    cfg = SQPConfig(n_sqp=3, n_qp_iter=8, regularization="gershgorin")
+    params, xinit, z_init, disabled = build_tmpc_fleet(ocp, settings, B,
+                                                       dtype=np.float64)
+    mesh = make_mesh(2, 4)  # 4-way planner sharding: P=9 -> ceil to 12 pad
+    P_pad = 12
+    pad = P_pad - params.shape[1]
+    params = np.concatenate([params, np.tile(params[:, -1:], (1, pad, 1, 1))],
+                            axis=1)
+    z_init = np.concatenate([z_init, np.tile(z_init[:, -1:], (1, pad, 1, 1))],
+                            axis=1)
+    disabled = np.concatenate(
+        [disabled, np.ones((B, pad), dtype=bool)], axis=1)
+    step = make_sharded_tmpc_step(ocp, cfg, mesh, dtype=jnp.float64)
+    args = shard_fleet_arrays(mesh, jnp.asarray(params), jnp.asarray(xinit),
+                              jnp.asarray(z_init), jnp.asarray(disabled))
+    hlo = jax.jit(step).lower(*args).compile().as_text()
+
+    # Every cross-device op must be an all-gather (champion exchange); no
+    # all-to-all / collective-permute / all-reduce of fleet-sized tensors.
+    assert "all-to-all" not in hlo
+    gathered_f64 = 0
+    for m in re.finditer(r"=\s*f64\[([\d,]*)\][^=\n]*\ball-gather\b", hlo):
+        dims = [int(d) for d in m.group(1).split(",") if d]
+        gathered_f64 += int(np.prod(dims)) if dims else 1
+    # Champion payload per device: b_loc x S x ((N+1) x nvar + cost + idx).
+    b_loc, S = B // 2, 4
+    champ_elems = b_loc * S * ((N + 1) * ocp.nvar + 2)
+    assert 0 < gathered_f64 <= 4 * champ_elems, (
+        f"all-gather moves {gathered_f64} f64 elements; champion payload is "
+        f"~{champ_elems} — the sharded step must not gather fleet arrays")
+    # The fleet inputs (params: B x P_pad x N x npar) must never be gathered.
+    fleet_elems = B * P_pad * N * params.shape[-1]
+    assert gathered_f64 < fleet_elems / 8
+
+
 def test_three_robot_intersection():
     """3-robot jackalsimulator-style scenario (BASELINE config 5 flavor):
     crossing paths with event-triggered trajectory exchange, no collisions."""
