@@ -202,7 +202,9 @@ def _ca_spline_update(x, x_integrated, ctx):
     R = 1.0 / jnp.maximum(path.get_curvature(s), 1e-5)
 
     theta = jnp.arctan2(vt_t, R - contour_error - vn_t)
-    return jnp.concatenate([x_integrated, jnp.reshape(s + R * theta, (1,))])
+    # expand_dims (not reshape-to-(1,)) keeps this polymorphic over a trailing
+    # batch axis: x may be (nx,) or (nx, B) (lane-layout linearizer).
+    return jnp.concatenate([x_integrated, jnp.expand_dims(s + R * theta, 0)])
 
 
 @dataclass(frozen=True)

@@ -77,13 +77,21 @@ class Spline:
     """
 
     def __init__(self, params, name: str, num_segments: int, s):
-        self.a = jnp.stack([params.get(f"{name}{i}_a") for i in range(num_segments)])
-        self.b = jnp.stack([params.get(f"{name}{i}_b") for i in range(num_segments)])
-        self.c = jnp.stack([params.get(f"{name}{i}_c") for i in range(num_segments)])
-        self.d = jnp.stack([params.get(f"{name}{i}_d") for i in range(num_segments)])
+        # Segment axis LAST: for scalar parameters this is the plain (M,)
+        # coefficient vector; for batched parameters (trailing batch axes, the
+        # lane-layout linearizer in ops/linearize.py) it broadcasts against
+        # ``s[..., None]`` in the segment evaluators.
+        self.a = jnp.stack(
+            [params.get(f"{name}{i}_a") for i in range(num_segments)], axis=-1)
+        self.b = jnp.stack(
+            [params.get(f"{name}{i}_b") for i in range(num_segments)], axis=-1)
+        self.c = jnp.stack(
+            [params.get(f"{name}{i}_c") for i in range(num_segments)], axis=-1)
+        self.d = jnp.stack(
+            [params.get(f"{name}{i}_d") for i in range(num_segments)], axis=-1)
         self.starts = jnp.stack(
-            [params.get(f"spline{i}_start") for i in range(num_segments)]
-        )
+            [params.get(f"spline{i}_start") for i in range(num_segments)],
+            axis=-1)
         self._s = s
 
     def at(self, s):

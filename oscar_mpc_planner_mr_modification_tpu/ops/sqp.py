@@ -99,12 +99,6 @@ def _make_machinery(ocp, config: SQPConfig, dtype):
     ubz = jnp.asarray(ocp.ubz, dtype)
 
     # Static row metadata
-    kinds = [k for k, _ in row_spec]
-    idxs = np.array([i for _, i in row_spec])
-    is_hl = np.array([k == "hl" for k in kinds])
-    is_hu = np.array([k == "hu" for k in kinds])
-    is_zl = np.array([k == "zl" for k in kinds])
-    is_zu = np.array([k == "zu" for k in kinds])
     is_xbox = np.array([
         k in ("zl", "zu") and i >= nu for (k, i) in row_spec])
     # Per-stage row activity masks (acados conventions)
@@ -112,39 +106,46 @@ def _make_machinery(ocp, config: SQPConfig, dtype):
     stage_mask[N, :] = 0.0  # terminal stage: unconstrained
     stage_mask[0, is_xbox] = 0.0  # x fixed at stage 0
     row_mask = jnp.asarray(stage_mask, dtype)
+    # Static row structure for the Pallas kernel: box rows (one +-1 entry at a
+    # fixed column) are tagged so the kernel keeps them out of D storage and
+    # updates Hbar diagonally (see ops/qp_pallas.py capacity notes)
+    row_meta = tuple(
+        ("box", int(i), 1.0) if k == "zl"
+        else ("box", int(i), -1.0) if k == "zu"
+        else ("h", 0)
+        for (k, i) in row_spec)
 
-    hl_rows = np.nonzero(is_hl)[0]
-    hu_rows = np.nonzero(is_hu)[0]
-    zl_rows = np.nonzero(is_zl)[0]
-    zu_rows = np.nonzero(is_zu)[0]
-    hl_idx = idxs[is_hl]
-    hu_idx = idxs[is_hu]
-    zl_idx = idxs[is_zl]
-    zu_idx = idxs[is_zu]
+    _unit = np.eye(nvar)
 
     def build_rows(z_k, p_k):
-        """D_k (m, nvar), e_k (m,) from the current iterate (one stage)."""
+        """D_k (m, nvar), e_k (m,) from the current iterate (one stage).
+
+        Rows are assembled by static stacking in row_spec order (no scatters:
+        `.at[rows].set` lowers to batched scatter under vmap, which is slow on
+        TPU; every selection index here is compile-time static)."""
         if nh > 0:
             h = ocp.ineq(z_k, p_k)
             C = jax.jacfwd(ocp.ineq)(z_k, p_k)
         else:
             h = jnp.zeros((0,), dtype)
             C = jnp.zeros((0, nvar), dtype)
-        D = jnp.zeros((m, nvar), dtype)
-        e = jnp.zeros((m,), dtype)
-        if len(hl_rows):
-            D = D.at[np.asarray(hl_rows)].set(C[hl_idx])
-            e = e.at[np.asarray(hl_rows)].set(h[hl_idx] - lh[hl_idx])
-        if len(hu_rows):
-            D = D.at[np.asarray(hu_rows)].set(-C[hu_idx])
-            e = e.at[np.asarray(hu_rows)].set(uh[hu_idx] - h[hu_idx])
-        if len(zl_rows):
-            D = D.at[np.asarray(zl_rows), np.asarray(zl_idx)].set(1.0)
-            e = e.at[np.asarray(zl_rows)].set(z_k[zl_idx] - lbz[zl_idx])
-        if len(zu_rows):
-            D = D.at[np.asarray(zu_rows), np.asarray(zu_idx)].set(-1.0)
-            e = e.at[np.asarray(zu_rows)].set(ubz[zu_idx] - z_k[zu_idx])
-        return D, e
+        D_rows, e_rows = [], []
+        for kind, i in row_spec:
+            if kind == "hl":
+                D_rows.append(C[i])
+                e_rows.append(h[i] - lh[i])
+            elif kind == "hu":
+                D_rows.append(-C[i])
+                e_rows.append(uh[i] - h[i])
+            elif kind == "zl":
+                D_rows.append(jnp.asarray(_unit[i], dtype))
+                e_rows.append(z_k[i] - lbz[i])
+            else:  # zu
+                D_rows.append(jnp.asarray(-_unit[i], dtype))
+                e_rows.append(ubz[i] - z_k[i])
+        if not D_rows:
+            return (jnp.zeros((0, nvar), dtype), jnp.zeros((0,), dtype))
+        return jnp.stack(D_rows), jnp.stack(e_rows)
 
     def stage_cost_grad_hess(z_k, p_k):
         g = jax.grad(ocp.cost_stage)(z_k, p_k)
@@ -218,7 +219,8 @@ def _make_machinery(ocp, config: SQPConfig, dtype):
 
     return _types.SimpleNamespace(
         build_qp=build_qp, sqp_iteration=sqp_iteration, dyn_lin=dyn_lin,
-        total_cost=total_cost, row_mask=row_mask, nu=nu, nvar=nvar, N=N)
+        total_cost=total_cost, row_mask=row_mask, stage_mask=stage_mask,
+        row_meta=row_meta, nu=nu, nvar=nvar, N=N)
 
 
 def make_sqp_solver(ocp, config: SQPConfig = SQPConfig(), dtype=jnp.float32):
@@ -300,6 +302,12 @@ def make_fleet_sqp_solver(ocp, config: SQPConfig = SQPConfig(),
 
     ``backend="pallas"`` routes the QPs through the fused TPU kernel
     (:mod:`.qp_pallas`) - the speed-of-light path for large fleets;
+    ``backend="lanes"`` additionally runs the LINEARIZATION in the kernel's
+    lane layout (batch on the trailing axis, :mod:`.linearize`), eliminating
+    the per-iteration relayout and the batch-major scalar chains - the fastest
+    path when the OCP's functions are elementwise-polymorphic (all shipped
+    modules/models are); it falls back to ``"pallas"`` with a warning if the
+    OCP rejects lane tracing;
     ``backend="xla"`` vmaps the reference XLA solver (used on CPU / for checks).
     ``interpret=True`` runs the Pallas kernel in interpreter mode so the EXACT
     shipped kernel is exercised by the CPU test suite (the reference analog:
@@ -308,6 +316,16 @@ def make_fleet_sqp_solver(ocp, config: SQPConfig = SQPConfig(),
     Returns ``solve(all_params (B, N, npar), xinit (B, nx),
     z_init (B, N+1, nvar)) -> SQPResult`` with leading batch axis.
     """
+    if backend == "lanes":
+        try:
+            return _make_lane_fleet_solver(ocp, config, dtype, interpret)
+        except Exception as exc:  # non-elementwise OCP: use the vmap path
+            import warnings
+
+            warnings.warn(
+                f"lane-layout fleet solver unavailable for this OCP ({exc}); "
+                "falling back to the batch-major pallas path")
+            backend = "pallas"
     config = _f32_safe(config, dtype)
     mach = _make_machinery(ocp, config, dtype)
     nu = mach.nu
@@ -320,9 +338,10 @@ def make_fleet_sqp_solver(ocp, config: SQPConfig = SQPConfig(),
 
         def qp_solve_batch(qp):
             dz = solve_qp_batched(
-                qp.H, qp.g, qp.A, qp.B, qp.c, qp.D, qp.e, mach.row_mask, qp.r0,
-                nu=nu, n_iters=config.n_qp_iter, mu_min=config.mu_min,
-                w_max=config.w_max, interpret=interpret)
+                qp.H, qp.g, qp.A, qp.B, qp.c, qp.D, qp.e, mach.stage_mask,
+                qp.r0, nu=nu, n_iters=config.n_qp_iter, mu_min=config.mu_min,
+                w_max=config.w_max, interpret=interpret,
+                row_meta=mach.row_meta)
             return dz
     else:
         def qp_solve_batch(qp):
@@ -404,5 +423,101 @@ def make_fleet_sqp_solver(ocp, config: SQPConfig = SQPConfig(),
             body, (Z0, Z0, merit0), None, length=config.n_sqp)
 
         return finalize(Z, P, xinit_)
+
+    return solve
+
+
+def _make_lane_fleet_solver(ocp, config: SQPConfig, dtype, interpret):
+    """Fleet solver with the whole per-iteration pipeline in lane layout.
+
+    The batch lives on the TRAILING axis end-to-end: the linearizer
+    (:mod:`.linearize`) emits QP fields directly in the Pallas kernel's
+    field-major layout and :func:`.qp_pallas.solve_qp_lanes` consumes them
+    with reshapes only — no per-iteration transposes, and every scalar chain
+    in the module/model math runs across full 128-element VPU lanes. The
+    public API stays batch-major (transposed once at entry/exit).
+
+    Raises at build time if the OCP's functions are not elementwise-
+    polymorphic (callers fall back to the vmap linearizer)."""
+    from .linearize import make_lane_linearizer, make_lane_merit
+    from .qp_pallas import solve_qp_lanes
+
+    config = _f32_safe(config, dtype)
+    mach = _make_machinery(ocp, config, dtype)
+    lin = make_lane_linearizer(ocp, config, dtype)
+    merit_of = make_lane_merit(ocp, config, dtype)
+    nu, nvar, N = mach.nu, mach.nvar, mach.N
+    npar = ocp.npar
+
+    # Eager polymorphism check: trace the linearizer on a tiny abstract batch
+    # so an unsupported OCP fails HERE (catchable) rather than at first call.
+    jax.eval_shape(
+        lin,
+        jax.ShapeDtypeStruct((npar, N + 1, 2), dtype),
+        jax.ShapeDtypeStruct((N + 1, nvar, 2), dtype),
+        jax.ShapeDtypeStruct((ocp.nx, 2), dtype))
+
+    def iteration(Z, best_Z, best_merit, P_cols, x_cols):
+        qp = lin(P_cols, Z, x_cols)
+        dz = solve_qp_lanes(
+            qp, mach.stage_mask, nu=nu, n_iters=config.n_qp_iter,
+            mu_min=config.mu_min, w_max=config.w_max, interpret=interpret,
+            row_meta=mach.row_meta)
+        Z_new = Z + dz
+        bad = jnp.any(jnp.isnan(Z_new), axis=(0, 1), keepdims=True)
+        Z_new = jnp.where(bad, Z, Z_new)
+        merit, _, _, _ = merit_of(P_cols, Z_new, x_cols)
+        better = (merit < best_merit)[None, None, :]
+        best_Z = jnp.where(better, Z_new, best_Z)
+        best_merit = jnp.minimum(merit, best_merit)
+        return Z_new, best_Z, best_merit
+
+    def finalize(Z, P_cols, x_cols):
+        merit, cost, eq_res, finite = merit_of(P_cols, Z, x_cols)
+        success = (eq_res <= config.res_eq_tol) & finite
+        exit_code = jnp.where(success, 1, 0)
+        return SQPResult(z=jnp.transpose(Z, (2, 0, 1)), cost=cost,
+                         eq_res=eq_res, qp_comp=jnp.zeros_like(cost),
+                         success=success, exit_code=exit_code)
+
+    def prepare(all_params, xinit, z_init):
+        P = jnp.concatenate(
+            [all_params, all_params[:, -1:]], axis=1).astype(dtype)
+        P_cols = jnp.transpose(P, (2, 1, 0))  # (npar, T, B)
+        Z0 = jnp.transpose(z_init.astype(dtype), (1, 2, 0))  # (T, nz, B)
+        x_cols = jnp.transpose(xinit.astype(dtype), (1, 0))  # (nx, B)
+        return P_cols, Z0, x_cols
+
+    if interpret:
+        # CPU-suite path: host loop over a once-jitted iteration (XLA:CPU
+        # compile cost of n_sqp unrolled interpreted kernels is prohibitive).
+        iteration_j = jax.jit(iteration)
+        finalize_j = jax.jit(finalize)
+
+        def solve(all_params, xinit, z_init):
+            P_cols, Z, x_cols = prepare(all_params, xinit, z_init)
+            best_merit, _, _, _ = merit_of(P_cols, Z, x_cols)
+            best_Z = Z
+            for _ in range(config.n_sqp):
+                Z, best_Z, best_merit = iteration_j(
+                    Z, best_Z, best_merit, P_cols, x_cols)
+            return finalize_j(best_Z, P_cols, x_cols)
+
+        return solve
+
+    @jax.jit
+    def solve(all_params, xinit, z_init):
+        P_cols, Z0, x_cols = prepare(all_params, xinit, z_init)
+
+        def body(carry, _):
+            Z, best_Z, best_merit = carry
+            Z_new, best_Z, best_merit = iteration(Z, best_Z, best_merit,
+                                                  P_cols, x_cols)
+            return (Z_new, best_Z, best_merit), None
+
+        merit0, _, _, _ = merit_of(P_cols, Z0, x_cols)
+        (Z_last, Z, _), _ = jax.lax.scan(
+            body, (Z0, Z0, merit0), None, length=config.n_sqp)
+        return finalize(Z, P_cols, x_cols)
 
     return solve

@@ -52,12 +52,13 @@ def make_batched_tmpc_step(ocp, config: SQPConfig, dtype=jnp.float32,
     plan_step(params (B,P,N,npar), xinit (B,nx), z_init (B,P,N+1,nvar),
     disabled (B,P)) -> TMPCStepResult with leading B axis.
 
-    backend: "pallas" routes all B*P QP subproblems through the fused TPU kernel
-    (:mod:`..ops.qp_pallas`); "xla" uses the vmapped reference solver; "auto"
-    picks pallas on TPU.
+    backend: "lanes" runs linearization AND QP in the kernel's lane layout
+    (the fastest path, :mod:`..ops.linearize`); "pallas" routes the B*P QP
+    subproblems through the fused TPU kernel with batch-major linearization;
+    "xla" uses the vmapped reference solver; "auto" picks lanes on TPU.
     """
     if backend == "auto":
-        backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+        backend = "lanes" if jax.devices()[0].platform == "tpu" else "xla"
 
     if backend == "xla":
         plan = make_plan_fn(ocp, config, dtype)
@@ -65,7 +66,7 @@ def make_batched_tmpc_step(ocp, config: SQPConfig, dtype=jnp.float32,
 
     from ..ops.sqp import make_fleet_sqp_solver
 
-    fleet_solve = make_fleet_sqp_solver(ocp, config, dtype, backend="pallas")
+    fleet_solve = make_fleet_sqp_solver(ocp, config, dtype, backend=backend)
 
     @jax.jit
     def plan_step(params, xinit, z_init, disabled):

@@ -66,13 +66,13 @@ class TMPCOptimizer:
 
         # Batched solver over the planner axis. On TPU at f32 the fused Pallas
         # fleet path is used; elsewhere a vmapped XLA solve.
-        backend = "pallas" if (jax.devices()[0].platform == "tpu"
-                               and solver.dtype == jnp.float32) else "xla"
-        if backend == "pallas":
+        backend = "lanes" if (jax.devices()[0].platform == "tpu"
+                              and solver.dtype == jnp.float32) else "xla"
+        if backend != "xla":
             from ..ops.sqp import make_fleet_sqp_solver
 
             fleet = make_fleet_sqp_solver(solver.ocp, solver.config,
-                                          dtype=solver.dtype, backend="pallas")
+                                          dtype=solver.dtype, backend=backend)
 
             def batched(params, xinit, z_init):
                 P = params.shape[0]

@@ -114,7 +114,10 @@ def build_ocp(model, modules, settings) -> OCP:
         return modules.objective(model, z, registry.view(p), settings, 1)
 
     def cost_terminal(x, p):
-        z = jnp.concatenate([jnp.zeros((nu,), dtype=x.dtype), x])
+        # Shape-polymorphic over trailing batch axes (lane-layout linearizer:
+        # x may be (nx,) or (nx, ...batch)); u-padding is zeros either way.
+        z = jnp.concatenate(
+            [jnp.zeros((nu,) + x.shape[1:], dtype=x.dtype), x])
         return modules.objective(model, z, registry.view(p), settings, N - 1)
 
     def ineq(z, p):
