@@ -150,7 +150,7 @@ def main():
     if remaining() > 240:
         log("phase 3: chained-scan on-device latency...")
         fleet = make_fleet_sqp_solver(ocp, config, dtype=jnp.float32,
-                                      backend="lanes"
+                                      backend="pallas"
                                       if platform == "tpu" else "xla")
         P = n_paths + 1
         b8 = 8 * P

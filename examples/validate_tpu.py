@@ -41,7 +41,7 @@ def main():
         N = 20 if name.startswith("goal") else 15
         ocp, P, x0, z_init = setup(N)
         fleet = make_fleet_sqp_solver(ocp, f32_cfg, jnp.float32,
-                                      backend="lanes"
+                                      backend="pallas"
                                       if jax.devices()[0].platform == "tpu"
                                       else "xla")
         B = 4

@@ -52,13 +52,15 @@ def make_batched_tmpc_step(ocp, config: SQPConfig, dtype=jnp.float32,
     plan_step(params (B,P,N,npar), xinit (B,nx), z_init (B,P,N+1,nvar),
     disabled (B,P)) -> TMPCStepResult with leading B axis.
 
-    backend: "lanes" runs linearization AND QP in the kernel's lane layout
-    (the fastest path, :mod:`..ops.linearize`); "pallas" routes the B*P QP
-    subproblems through the fused TPU kernel with batch-major linearization;
-    "xla" uses the vmapped reference solver; "auto" picks lanes on TPU.
+    backend: "pallas" routes the B*P QP subproblems through the fused TPU
+    kernel with batch-major linearization (the measured-fastest path at the
+    bench shape); "lanes" runs linearization AND QP in the kernel's lane
+    layout (:mod:`..ops.linearize`; measured slower end-to-end — XLA already
+    vectorizes the batch-leading linearization well); "xla" uses the vmapped
+    reference solver; "auto" picks pallas on TPU.
     """
     if backend == "auto":
-        backend = "lanes" if jax.devices()[0].platform == "tpu" else "xla"
+        backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
 
     if backend == "xla":
         plan = make_plan_fn(ocp, config, dtype)

@@ -45,7 +45,7 @@ def select_backend(backend: str = "auto", platform: str | None = None) -> str:
     if backend != "auto":
         return backend
     platform = platform or jax.default_backend()
-    return "lanes" if platform == "tpu" else "xla"
+    return "pallas" if platform == "tpu" else "xla"
 
 
 def make_sharded_tmpc_step(ocp, config: SQPConfig, mesh: Mesh,

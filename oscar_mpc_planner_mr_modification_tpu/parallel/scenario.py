@@ -165,7 +165,7 @@ class ScenarioOptimizer:
             from ..ops.sqp import make_fleet_sqp_solver
 
             fleet = make_fleet_sqp_solver(solver.ocp, solver.config,
-                                          dtype=solver.dtype, backend="lanes")
+                                          dtype=solver.dtype, backend="pallas")
 
             def batched(params, xinit, z_init):
                 P = params.shape[0]

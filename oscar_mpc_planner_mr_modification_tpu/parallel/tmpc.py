@@ -66,7 +66,7 @@ class TMPCOptimizer:
 
         # Batched solver over the planner axis. On TPU at f32 the fused Pallas
         # fleet path is used; elsewhere a vmapped XLA solve.
-        backend = "lanes" if (jax.devices()[0].platform == "tpu"
+        backend = "pallas" if (jax.devices()[0].platform == "tpu"
                               and solver.dtype == jnp.float32) else "xla"
         if backend != "xla":
             from ..ops.sqp import make_fleet_sqp_solver
