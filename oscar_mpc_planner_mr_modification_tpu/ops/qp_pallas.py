@@ -134,8 +134,22 @@ def _spd_inv(M):
 # Kernel
 # ---------------------------------------------------------------------------
 def _qp_kernel(H_ref, g_ref, A_ref, B_ref, c_ref, D_ref, e_ref, r0_ref,
-               z_ref, *, T, nz, nx, nu, m, mh, row_meta, stage_mask, n_iters,
-               mu0, mu_min, tau, w_max, s_floor, tol_freeze):
+               *rest, T, nz, nx, nu, m, mh, row_meta, stage_mask, n_iters,
+               mu0, mu_min, tau, w_max, s_floor, tol_freeze,
+               warm=False, duals_out=False):
+    """One grid program: solve TILE_B QPs end-to-end in VMEM.
+
+    ``rest`` holds the optional warm-start input and the output ref(s):
+    cold:             (z_ref,)                      or (z_ref, lam_ref)
+    warm (lam0 input): (lam0_ref, z_ref)            or (lam0_ref, z_ref, lam_ref)
+    ``warm`` seeds the dual variables from a previous (re-linearized) solve —
+    the SQP loop carries them so warm QP solves need fewer IP iterations (the
+    acados analog: warm_start_first_qp + HPIPM dual warm starts)."""
+    if warm:
+        lam0_ref, rest = rest[0], rest[1:]
+    z_ref = rest[0]
+    lam_ref = rest[1] if duals_out else None
+
     # Bulk loads; trailing dims are the (SUBS, LANES) batch tile
     Hb = H_ref[...].reshape(T, nz, nz, SUBS, LANES)
     gb = g_ref[...].reshape(T, nz, SUBS, LANES)
@@ -145,6 +159,7 @@ def _qp_kernel(H_ref, g_ref, A_ref, B_ref, c_ref, D_ref, e_ref, r0_ref,
     Db = D_ref[...].reshape(T, max(mh, 1), nz, SUBS, LANES)
     eb = e_ref[...].reshape(T, m, SUBS, LANES)
     r0b = r0_ref[...].reshape(nx, SUBS, LANES)
+    lam0b = (lam0_ref[...].reshape(T, m, SUBS, LANES) if warm else None)
 
     dtype = Hb.dtype
     # Static per-row stage-activity masks, synthesized in-kernel from iota
@@ -194,14 +209,31 @@ def _qp_kernel(H_ref, g_ref, A_ref, B_ref, c_ref, D_ref, e_ref, r0_ref,
             acc = acc + Db[:, j, q] * zv[:, q]
         return acc
 
-    s_init = jnp.stack(
-        [jnp.where(masks[r] > 0, jnp.maximum(eb[:, r], v0),
-                   jnp.ones_like(eb[:, r])) if active[r]
-         else jnp.ones_like(eb[:, r]) for r in range(m)], axis=1)
-    lam_init = jnp.stack(
-        [jnp.where(masks[r] > 0, mu0 / s_init[:, r],
-                   jnp.zeros_like(eb[:, r])) if active[r]
-         else jnp.zeros_like(eb[:, r]) for r in range(m)], axis=1)
+    if warm:
+        # Dual warm start: slacks re-seeded from the NEW linearization's
+        # residuals (floored off the boundary), multipliers carried over
+        # (clipped strictly positive). Active-set information survives the
+        # re-linearization; the path-following restart is short.
+        s_wfloor = jnp.asarray(10.0 * float(np.sqrt(mu_min)), dtype)
+        lam_floor = jnp.asarray(mu_min, dtype)
+        s_init = jnp.stack(
+            [jnp.where(masks[r] > 0, jnp.maximum(eb[:, r], s_wfloor),
+                       jnp.ones_like(eb[:, r])) if active[r]
+             else jnp.ones_like(eb[:, r]) for r in range(m)], axis=1)
+        lam_init = jnp.stack(
+            [jnp.where(masks[r] > 0,
+                       jnp.clip(lam0b[:, r], lam_floor, w_max),
+                       jnp.zeros_like(eb[:, r])) if active[r]
+             else jnp.zeros_like(eb[:, r]) for r in range(m)], axis=1)
+    else:
+        s_init = jnp.stack(
+            [jnp.where(masks[r] > 0, jnp.maximum(eb[:, r], v0),
+                       jnp.ones_like(eb[:, r])) if active[r]
+             else jnp.ones_like(eb[:, r]) for r in range(m)], axis=1)
+        lam_init = jnp.stack(
+            [jnp.where(masks[r] > 0, mu0 / s_init[:, r],
+                       jnp.zeros_like(eb[:, r])) if active[r]
+             else jnp.zeros_like(eb[:, r]) for r in range(m)], axis=1)
     z0 = jnp.zeros((T, nz, SUBS, LANES), dtype)
 
     def factor(Hbar):
@@ -407,6 +439,11 @@ def _qp_kernel(H_ref, g_ref, A_ref, B_ref, c_ref, D_ref, e_ref, r0_ref,
         eqr = jnp.maximum(eqr, jnp.max(jnp.abs(jnp.stack(r0_res)), axis=0))
         done = ((comp < tol_freeze) & (feas < 100.0 * tol_freeze)
                 & (eqr < 100.0 * tol_freeze))
+        if warm:
+            # Carried duals make complementarity tiny at dz=0 even though the
+            # NEW QP is unsolved (the freeze check has no stationarity term);
+            # require one full Mehrotra iteration before freezing.
+            done = done & (it >= 1)
         bad = jnp.isnan(nan_acc)
         scale = jnp.where(done | bad, 0.0, 1.0)  # (S, L)
         alpha_p = (alpha_p * scale)[None]
@@ -436,6 +473,8 @@ def _qp_kernel(H_ref, g_ref, A_ref, B_ref, c_ref, D_ref, e_ref, r0_ref,
 
     z, s, lam = jax.lax.fori_loop(0, n_iters, body, (z0, s_init, lam_init))
     z_ref[...] = z.reshape(T * nz, SUBS, LANES)
+    if duals_out:
+        lam_ref[...] = lam.reshape(T * m, SUBS, LANES)
 
 
 # ---------------------------------------------------------------------------
@@ -443,7 +482,8 @@ def _qp_kernel(H_ref, g_ref, A_ref, B_ref, c_ref, D_ref, e_ref, r0_ref,
 # ---------------------------------------------------------------------------
 @functools.lru_cache(maxsize=64)
 def _make_solver(shape_key, mask_bytes, row_meta, nu, n_iters, mu0, mu_min,
-                 tau, w_max, s_floor, tol_freeze, interpret, dtype_str):
+                 tau, w_max, s_floor, tol_freeze, interpret, dtype_str,
+                 warm=False, duals_out=False):
     Bt, T, nz, nx, m = shape_key
     dtype = jnp.dtype(dtype_str)
     stage_mask = np.frombuffer(mask_bytes, dtype=np.float64).reshape(T, m)
@@ -463,7 +503,8 @@ def _make_solver(shape_key, mask_bytes, row_meta, nu, n_iters, mu0, mu_min,
 
     itemsize = dtype.itemsize
     fields_in = (T * nz * nz + T * nz + (T - 1) * nx * nx + (T - 1) * nx * nu
-                 + (T - 1) * nx + T * max(mh, 1) * nz + T * m + nx)
+                 + (T - 1) * nx + T * max(mh, 1) * nz + T * m + nx
+                 + (T * m if warm else 0))
     # Rough per-tile working set: inputs + 3 cached (T,m) row families +
     # s/lam state + Hbar + factor lists + a few (T,nz) vectors
     work_fields = (fields_in + 5 * T * m + 2 * T * nz * nz
@@ -475,23 +516,31 @@ def _make_solver(shape_key, mask_bytes, row_meta, nu, n_iters, mu0, mu_min,
         _qp_kernel, T=T, nz=nz, nx=nx, nu=nu, m=m, mh=mh,
         row_meta=row_meta, stage_mask=stage_mask, n_iters=n_iters, mu0=mu0,
         mu_min=mu_min, tau=tau, w_max=w_max, s_floor=s_floor,
-        tol_freeze=tol_freeze)
+        tol_freeze=tol_freeze, warm=warm, duals_out=duals_out)
 
     in_fields = [T * nz * nz, T * nz, (T - 1) * nx * nx, (T - 1) * nx * nu,
                  (T - 1) * nx, T * max(mh, 1) * nz, T * m, nx]
+    if warm:
+        in_fields.append(T * m)
     out_fields = T * nz
+    out_fields_all = [T * nz] + ([T * m] if duals_out else [])
 
     def make_call(grid_tiles):
         def spec(fields):
             return pl.BlockSpec((fields, SUBS, LANES), lambda i: (0, i, 0),
                                 memory_space=pltpu.VMEM)
 
+        multi = len(out_fields_all) > 1
         return pl.pallas_call(
             kernel,
             grid=(grid_tiles,),
             in_specs=[spec(f) for f in in_fields],
-            out_specs=spec(out_fields),
-            out_shape=jax.ShapeDtypeStruct(
+            out_specs=[spec(f) for f in out_fields_all] if multi
+            else spec(out_fields),
+            out_shape=[jax.ShapeDtypeStruct(
+                (f, grid_tiles * SUBS, LANES), dtype)
+                for f in out_fields_all] if multi
+            else jax.ShapeDtypeStruct(
                 (out_fields, grid_tiles * SUBS, LANES), dtype),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=128 * 1024 * 1024),
@@ -499,18 +548,23 @@ def _make_solver(shape_key, mask_bytes, row_meta, nu, n_iters, mu0, mu_min,
         )
 
     def call_lanes(ins):
-        """ins: 8 arrays (fields_i, Bp//LANES, LANES) -> (T*nz, Bp//LANES, LANES)."""
+        """ins: arrays (fields_i, Bp//LANES, LANES) -> one array or [z, lam]
+        of (out_fields_i, Bp//LANES, LANES)."""
+        multi = len(out_fields_all) > 1
         if not chunked:
             return make_call(n_tiles * 1)(*ins)
         call = make_call(1)
         # (fields, n_tiles, SUBS, LANES) -> map over tiles, single-buffered
         stacked = [x.reshape(f, n_tiles, SUBS, LANES).swapaxes(0, 1)
                    for x, f in zip(ins, in_fields)]
-        z_t = jax.lax.map(lambda xs: call(*xs), tuple(stacked))
-        return z_t.swapaxes(0, 1).reshape(out_fields, Bp // LANES, LANES)
+        outs = jax.lax.map(lambda xs: call(*xs), tuple(stacked))
+        if multi:
+            return [o.swapaxes(0, 1).reshape(f, Bp // LANES, LANES)
+                    for o, f in zip(outs, out_fields_all)]
+        return outs.swapaxes(0, 1).reshape(out_fields, Bp // LANES, LANES)
 
     @jax.jit
-    def solve(H, g, A, B, c, D, e, r0):
+    def solve(H, g, A, B, c, D, e, r0, lam0=None):
         def to_lanes(x, fields, pad_rows=None):
             x = x.reshape(Bt, fields)
             if pad:
@@ -536,8 +590,15 @@ def _make_solver(shape_key, mask_bytes, row_meta, nu, n_iters, mu0, mu_min,
                      pad_rows=jnp.ones((T * m,), dtype)),
             to_lanes(r0.astype(dtype), in_fields[7]),
         ]
-        z_l = call_lanes(ins)
-        z = z_l.reshape(T * nz, Bp).T[:Bt].reshape(Bt, T, nz)
+        if warm:
+            ins.append(to_lanes(lam0.astype(dtype), in_fields[8]))
+        outs = call_lanes(ins)
+        if duals_out:
+            z_l, lam_l = outs
+            z = z_l.reshape(T * nz, Bp).T[:Bt].reshape(Bt, T, nz)
+            lam = lam_l.reshape(T * m, Bp).T[:Bt].reshape(Bt, T, m)
+            return z, lam
+        z = outs.reshape(T * nz, Bp).T[:Bt].reshape(Bt, T, nz)
         return z
 
     @jax.jit
@@ -547,6 +608,9 @@ def _make_solver(shape_key, mask_bytes, row_meta, nu, n_iters, mu0, mu_min,
         c (T-1,nx,Bt), D (T,mh,nz,Bt) generic rows only, e (T,m,Bt),
         r0 (nx,Bt)) and the result is (T, nz, Bt). No transposes anywhere:
         field-major reshapes only (the ops/linearize.py pipeline)."""
+        assert not warm and not duals_out, (
+            "lane entry supports the cold z-only configuration")
+
         def lanes(x, fields):
             x = x.astype(dtype).reshape(fields, Bt)
             if pad:
@@ -602,6 +666,39 @@ def solve_qp_batched(H, g, A, B, c, D, e, row_mask, r0, *, nu: int,
         mu_min, tau, w_max, s_floor, tol_freeze, interpret,
         jnp.dtype(H.dtype).name)
     return solver.solve(H, g, A, B, c, D, e, r0)
+
+
+def solve_qp_batched_duals(H, g, A, B, c, D, e, row_mask, r0, *, nu: int,
+                           lam0=None, n_iters: int = 12, mu0: float = 1e2,
+                           mu_min: float = 1e-6, tau: float = 0.995,
+                           w_max: float = 1e6, s_floor: float = 1e-10,
+                           tol_freeze: float = 1e-5, interpret: bool = False,
+                           row_meta=None):
+    """Like :func:`solve_qp_batched` but also returns the final inequality
+    multipliers lam (Bt, T, m), and optionally warm-starts from ``lam0``
+    (Bt, T, m) — duals from a previous solve of a nearby (re-linearized) QP.
+
+    With ``lam0`` the interior-point restart is seeded near the old active
+    set: slacks come from the NEW residuals (floored off the boundary) and
+    multipliers are carried over, so warm solves converge in fewer iterations
+    (the SQP loop's per-iteration QPs differ only by the re-linearization).
+    acados analog: qp_warm_start=2 + HPIPM dual warm starts
+    (generate_acados_solver.py options block)."""
+    Bt, T, nz, _ = H.shape
+    nx = A.shape[-1]
+    m = D.shape[2]
+    mask_np = np.asarray(row_mask, dtype=np.float64)
+    if mask_np.ndim == 3:
+        mask_np = mask_np[0]
+    if row_meta is not None:
+        row_meta = tuple(tuple(meta) for meta in row_meta)
+    solver = _make_solver(
+        (Bt, T, nz, nx, m), mask_np.tobytes(), row_meta, nu, n_iters, mu0,
+        mu_min, tau, w_max, s_floor, tol_freeze, interpret,
+        jnp.dtype(H.dtype).name, warm=lam0 is not None, duals_out=True)
+    if lam0 is None:
+        return solver.solve(H, g, A, B, c, D, e, r0)
+    return solver.solve(H, g, A, B, c, D, e, r0, lam0)
 
 
 def solve_qp_lanes(lane_qp, stage_mask, *, nu: int, n_iters: int = 12,

@@ -49,6 +49,17 @@ class SQPConfig(NamedTuple):
     levenberg: float = 1e-3
     res_eq_tol: float = 1e-2  # failure promotion threshold (acados wrapper :176-182)
     merit_eq_weight: float = 1e3  # infeasibility penalty in best-iterate merit
+    # Dual warm starting across SQP iterations (pallas fleet backend only):
+    # iteration 0 solves its QP cold with n_qp_iter IP iterations; iterations
+    # 1..n_sqp-1 seed the inequality multipliers from the previous QP's duals
+    # and run n_qp_iter_warm iterations. 0 disables (every QP cold).
+    # acados analog: qp_warm_start=2 (generate_acados_solver.py options).
+    n_qp_iter_warm: int = 0
+    # Best-iterate merit tracking (fleet backends). True = keep the
+    # best-merit iterate across SQP iterations (full-step SQP can cycle on
+    # nonconvex problems); False = return the last iterate (acados FIXED_STEP
+    # semantics exactly) and skip the per-iteration merit evaluation.
+    track_best: bool = True
 
 
 class SQPResult(NamedTuple):
@@ -58,6 +69,48 @@ class SQPResult(NamedTuple):
     qp_comp: jnp.ndarray  # last QP complementarity
     success: jnp.ndarray  # bool
     exit_code: jnp.ndarray  # 1 = success, 0 = failure (reference mapping)
+
+
+@jax.jit
+def _pack_results(res: "SQPResult"):
+    """Flatten every SQPResult field into ONE device array so the host pays a
+    single device->host transfer per tick. On tunneled backends each separate
+    ``np.asarray``/``float()`` is a full round-trip (~28 ms RTT measured); the
+    runtime optimizers fetch through this instead."""
+    B = res.z.shape[0]
+    flat = res.z.reshape(B, -1)
+    extra = jnp.stack([res.cost.astype(flat.dtype),
+                       res.eq_res.astype(flat.dtype),
+                       res.qp_comp.astype(flat.dtype),
+                       res.exit_code.astype(flat.dtype),
+                       res.success.astype(flat.dtype)], axis=1)
+    return jnp.concatenate([flat, extra], axis=1)
+
+
+def fetch_results(res: "SQPResult") -> "SQPResult":
+    """One-transfer host fetch: an SQPResult whose fields are numpy arrays
+    (z (B,T,nz) float, cost/eq_res/qp_comp (B,) float, exit_code (B,) int,
+    success (B,) bool)."""
+    B, T, nz = res.z.shape
+    packed = np.asarray(_pack_results(res))
+    n = T * nz
+    return SQPResult(
+        z=packed[:, :n].astype(float).reshape(B, T, nz),
+        cost=packed[:, n].astype(float).copy(),
+        eq_res=packed[:, n + 1].astype(float).copy(),
+        qp_comp=packed[:, n + 2].astype(float).copy(),
+        exit_code=np.rint(packed[:, n + 3]).astype(int),
+        success=packed[:, n + 4] > 0.5)
+
+
+def fetch_result_single(res: "SQPResult") -> "SQPResult":
+    """:func:`fetch_results` for a batchless result (z (T, nz))."""
+    batched = fetch_results(
+        jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], res))
+    return SQPResult(
+        z=batched.z[0], cost=float(batched.cost[0]),
+        eq_res=float(batched.eq_res[0]), qp_comp=float(batched.qp_comp[0]),
+        exit_code=int(batched.exit_code[0]), success=bool(batched.success[0]))
 
 
 def _mirror_regularize(H, eps):
@@ -271,6 +324,8 @@ def make_sqp_solver(ocp, config: SQPConfig = SQPConfig(), dtype=jnp.float32):
             # Guard: a NaN step (failed QP) keeps the previous iterate
             bad = jnp.any(jnp.isnan(Z_new))
             Z_new = jnp.where(bad, Z, Z_new)
+            if not config.track_best:
+                return (Z_new, Z_new, best_merit), (sol.comp, sol.eq_res)
             # Best-iterate tracking: full-step SQP (acados FIXED_STEP) can cycle
             # on nonconvex problems; keep the best-merit iterate so extra
             # iterations are never worse.
@@ -333,22 +388,30 @@ def make_fleet_sqp_solver(ocp, config: SQPConfig = SQPConfig(),
     dyn_lin = mach.dyn_lin
     total_cost = mach.total_cost
 
+    dual_warm = backend == "pallas" and config.n_qp_iter_warm > 0
     if backend == "pallas":
-        from .qp_pallas import solve_qp_batched
+        from .qp_pallas import solve_qp_batched, solve_qp_batched_duals
 
-        def qp_solve_batch(qp):
-            dz = solve_qp_batched(
+        def qp_solve_batch(qp, lam=None):
+            if not dual_warm:
+                dz = solve_qp_batched(
+                    qp.H, qp.g, qp.A, qp.B, qp.c, qp.D, qp.e,
+                    mach.stage_mask, qp.r0, nu=nu, n_iters=config.n_qp_iter,
+                    mu_min=config.mu_min, w_max=config.w_max,
+                    interpret=interpret, row_meta=mach.row_meta)
+                return dz, None
+            n_it = config.n_qp_iter if lam is None else config.n_qp_iter_warm
+            return solve_qp_batched_duals(
                 qp.H, qp.g, qp.A, qp.B, qp.c, qp.D, qp.e, mach.stage_mask,
-                qp.r0, nu=nu, n_iters=config.n_qp_iter, mu_min=config.mu_min,
+                qp.r0, nu=nu, lam0=lam, n_iters=n_it, mu_min=config.mu_min,
                 w_max=config.w_max, interpret=interpret,
                 row_meta=mach.row_meta)
-            return dz
     else:
-        def qp_solve_batch(qp):
+        def qp_solve_batch(qp, lam=None):
             sol = jax.vmap(lambda q: solve_qp(
                 q, nu=nu, n_iters=config.n_qp_iter, mu_min=config.mu_min,
                 w_max=config.w_max))(qp)
-            return sol.z
+            return sol.z, None
 
     def merit_of(Z, P, xinit):
         # Includes the initial-condition residual |xinit - x_0| alongside the
@@ -363,17 +426,24 @@ def make_fleet_sqp_solver(ocp, config: SQPConfig = SQPConfig(),
                           jnp.inf)
         return merit, cost, eq_res, finite
 
-    def iteration(Z, best_Z, best_merit, P, xinit_):
+    def iteration(Z, best_Z, best_merit, P, xinit_, lam=None):
         qp = build_qp_v(Z, P, xinit_)
-        dz = qp_solve_batch(qp)
+        dz, lam_new = qp_solve_batch(qp, lam)
         Z_new = Z + dz
         bad = jnp.any(jnp.isnan(Z_new), axis=(1, 2), keepdims=True)
         Z_new = jnp.where(bad, Z, Z_new)
+        if lam_new is not None:
+            # A failed QP's duals are useless — reseed the next warm solve
+            # with a benign constant (clipped to the floor in-kernel).
+            lam_new = jnp.where(jnp.isnan(lam_new),
+                                jnp.ones_like(lam_new), lam_new)
+        if not config.track_best:
+            return Z_new, Z_new, best_merit, lam_new
         merit, _, _, _ = merit_of(Z_new, P, xinit_)
         better = (merit < best_merit)[:, None, None]
         best_Z = jnp.where(better, Z_new, best_Z)
         best_merit = jnp.minimum(merit, best_merit)
-        return Z_new, best_Z, best_merit
+        return Z_new, best_Z, best_merit, lam_new
 
     def finalize(Z, P, xinit_):
         merit, cost, eq_res, finite = merit_of(Z, P, xinit_)
@@ -398,9 +468,11 @@ def make_fleet_sqp_solver(ocp, config: SQPConfig = SQPConfig(),
             xinit_ = xinit.astype(dtype)
             best_merit, _, _, _ = merit_of(Z, P, xinit_)
             best_Z = Z
-            for _ in range(config.n_sqp):
-                Z, best_Z, best_merit = iteration_j(
-                    Z, best_Z, best_merit, P, xinit_)
+            lam = None
+            for i in range(config.n_sqp):
+                Z, best_Z, best_merit, lam_new = iteration_j(
+                    Z, best_Z, best_merit, P, xinit_, lam)
+                lam = lam_new if dual_warm else None
             return finalize_j(best_Z, P, xinit_)
 
         return solve
@@ -412,13 +484,31 @@ def make_fleet_sqp_solver(ocp, config: SQPConfig = SQPConfig(),
         Z0 = z_init.astype(dtype)
         xinit_ = xinit.astype(dtype)
 
+        merit0, _, _, _ = merit_of(Z0, P, xinit_)
+
+        if dual_warm:
+            # Iteration 0 cold (full n_qp_iter, emits duals); iterations
+            # 1..n_sqp-1 warm-start the duals with n_qp_iter_warm each.
+            Z1, best_Z0, best_merit0, lam = iteration(
+                Z0, Z0, merit0, P, xinit_, None)
+
+            def body(carry, _):
+                Z, best_Z, best_merit, lam_c = carry
+                Z_new, best_Z, best_merit, lam_n = iteration(
+                    Z, best_Z, best_merit, P, xinit_, lam_c)
+                return (Z_new, best_Z, best_merit, lam_n), None
+
+            (Z_last, Z, _, _), _ = jax.lax.scan(
+                body, (Z1, best_Z0, best_merit0, lam), None,
+                length=config.n_sqp - 1)
+            return finalize(Z, P, xinit_)
+
         def body(carry, _):
             Z, best_Z, best_merit = carry
-            Z_new, best_Z, best_merit = iteration(Z, best_Z, best_merit,
-                                                  P, xinit_)
+            Z_new, best_Z, best_merit, _ = iteration(Z, best_Z, best_merit,
+                                                     P, xinit_)
             return (Z_new, best_Z, best_merit), None
 
-        merit0, _, _, _ = merit_of(Z0, P, xinit_)
         (Z_last, Z, _), _ = jax.lax.scan(
             body, (Z0, Z0, merit0), None, length=config.n_sqp)
 
@@ -466,6 +556,8 @@ def _make_lane_fleet_solver(ocp, config: SQPConfig, dtype, interpret):
         Z_new = Z + dz
         bad = jnp.any(jnp.isnan(Z_new), axis=(0, 1), keepdims=True)
         Z_new = jnp.where(bad, Z, Z_new)
+        if not config.track_best:
+            return Z_new, Z_new, best_merit
         merit, _, _, _ = merit_of(P_cols, Z_new, x_cols)
         better = (merit < best_merit)[None, None, :]
         best_Z = jnp.where(better, Z_new, best_Z)

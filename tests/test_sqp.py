@@ -214,6 +214,38 @@ def test_fleet_solver_matches_per_instance():
                                    np.asarray(ref.z[:-1, :2]), atol=1e-4)
 
 
+def test_track_best_false_is_fixed_step_semantics():
+    """track_best=False (acados FIXED_STEP exactly: return the LAST iterate,
+    no best-merit selection) converges to the same solution as the tracked
+    variant on a well-behaved problem, for both the single-instance and the
+    fleet solver. This is the bench operating point (the merit re-rollout
+    costs ~30 ms per 512-plan step on hardware)."""
+    from oscar_mpc_planner_mr_modification_tpu.ops.sqp import make_fleet_sqp_solver
+
+    N = 12
+    ocp, P, x0, z_init = goal_tracking_setup(N=N)
+    cfg = SQPConfig(n_sqp=12, n_qp_iter=15, mu_min=1e-9)
+    ref = make_sqp_solver(ocp, cfg, dtype=jnp.float64)(
+        jnp.asarray(P), jnp.asarray(x0), jnp.asarray(z_init))
+    fast = make_sqp_solver(ocp, cfg._replace(track_best=False),
+                           dtype=jnp.float64)(
+        jnp.asarray(P), jnp.asarray(x0), jnp.asarray(z_init))
+    assert bool(ref.success) and bool(fast.success)
+    np.testing.assert_allclose(np.asarray(fast.z), np.asarray(ref.z),
+                               atol=1e-6)
+
+    Bt = 2
+    fleet = make_fleet_sqp_solver(
+        ocp, cfg._replace(track_best=False, regularization="gershgorin"),
+        dtype=jnp.float64, backend="xla")
+    out = fleet(jnp.asarray(np.tile(P[None], (Bt, 1, 1))),
+                jnp.asarray(np.tile(x0[None], (Bt, 1))),
+                jnp.asarray(np.tile(z_init[None], (Bt, 1, 1))))
+    assert bool(out.success.all())
+    np.testing.assert_allclose(np.asarray(out.z[0, :-1, :2]),
+                               np.asarray(ref.z[:-1, :2]), atol=1e-4)
+
+
 def contouring_setup(N=15, n_obstacles=2):
     """BASELINE config-2 flavor: MPCC contouring + ellipsoidal obstacles on a
     straight reference spline."""
