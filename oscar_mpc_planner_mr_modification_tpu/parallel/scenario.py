@@ -47,7 +47,7 @@ import jax
 import jax.numpy as jnp
 
 from ..modules.scenario_constraints import N_SCENARIO_CONSTRAINTS
-from ..ops.sqp import make_sqp_solver, SQPResult
+from ..ops.sqp import fetch_results, make_sqp_solver, SQPResult
 from ..types import PredictionType
 
 
@@ -245,12 +245,12 @@ class ScenarioOptimizer:
         self.last_uncovered = self._fill_scenario_constraints(
             params, warmstarts, ix, iy)
 
-        results: SQPResult = self._batched_solve(
+        results = fetch_results(self._batched_solve(
             jnp.asarray(params), jnp.asarray(self.solver._xinit),
-            jnp.asarray(warmstarts))
-        costs = np.asarray(results.cost, dtype=float)
-        success = np.asarray(results.success, dtype=bool)
-        exit_codes = np.asarray(results.exit_code, dtype=int)
+            jnp.asarray(warmstarts)))
+        costs = results.cost
+        success = results.success
+        exit_codes = results.exit_code
 
         feasible = np.where(success)[0]
         if len(feasible) == 0:

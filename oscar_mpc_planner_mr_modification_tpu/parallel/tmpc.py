@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from ..guidance.global_guidance import (GlobalGuidance, GuidanceConfig,
                                         TOPOLOGY_NO_MATCH)
-from ..ops.sqp import make_sqp_solver, SQPResult
+from ..ops.sqp import fetch_results, make_sqp_solver, SQPResult
 from ..types import SolverState
 
 
@@ -215,12 +215,12 @@ class TMPCOptimizer:
 
         # Batched solve on device
         xinit = jnp.asarray(self.solver._xinit)
-        results: SQPResult = self._batched_solve(
-            jnp.asarray(params), xinit, jnp.asarray(warmstarts))
-        Z = np.asarray(results.z)
-        costs = np.asarray(results.cost, dtype=float).copy()
-        exit_codes = np.asarray(results.exit_code, dtype=int)
-        success = np.asarray(results.success, dtype=bool) & ~disabled
+        results = fetch_results(self._batched_solve(
+            jnp.asarray(params), xinit, jnp.asarray(warmstarts)))
+        Z = results.z
+        costs = results.cost.copy()
+        exit_codes = results.exit_code
+        success = results.success & ~disabled
 
         # Fair-cost comparison: subtract realized consistency cost (cpp:374-420)
         for p in range(P):

@@ -181,10 +181,14 @@ class Solver:
 
     # -- solve -------------------------------------------------------------
     def solve(self) -> int:
+        from ..ops.sqp import fetch_result_single
+
         result: SQPResult = self._solve_fn(
             jnp.asarray(self.params.data), jnp.asarray(self._xinit),
             jnp.asarray(self._loaded_warmstart))
-        self.load_result(result)
+        # One packed device->host transfer (separate field reads cost one
+        # round-trip each on tunneled backends)
+        self.load_result(fetch_result_single(result))
         return self._exit_code
 
     def load_result(self, result: SQPResult) -> int:
