@@ -102,6 +102,8 @@ def main():
         "small_batch_median_ms": -1.0,
         "on_device_step_ms": -1.0,
         "transport_rtt_ms": -1.0,
+        "on_device_fleet_step_ms": -1.0,
+        "device_plans_per_s": -1.0,
         "e2e_tick_median_ms": -1.0,
         "e2e_tick_p99_ms": -1.0,
         "success_rate": -1.0,
@@ -194,6 +196,43 @@ def main():
         log(f"on-device step: {result['on_device_step_ms']} ms, "
             f"transport {result['transport_rtt_ms']} ms")
         emit(result)
+
+        # Full-batch device rate: the same chained-scan subtraction on the
+        # full fleet shape — the sustained throughput an attached (untunneled)
+        # deployment gets from one chip.
+        if remaining() > 240:
+            fpb = args[0].reshape(batch * P, *args[0].shape[2:])
+            fxb = jnp.repeat(args[1], P, axis=0)
+            fzb = args[2].reshape(batch * P, *args[2].shape[2:])
+
+            def make_chained_full(K):
+                @jax.jit
+                def chained(p_, x_, z_):
+                    def body(Z, k):
+                        res = fleet(p_ + 1e-5 * k, x_, Z)
+                        return res.z, jnp.sum(res.cost)
+                    Z, costs = jax.lax.scan(
+                        body, z_, jnp.arange(K, dtype=jnp.float32))
+                    return costs
+                return chained
+
+            f1, f8 = make_chained_full(1), make_chained_full(8)
+            for f in (f1, f8):
+                float(jnp.sum(f(fpb, fxb, fzb)))
+            u1s, u8s = [], []
+            for i in range(8):
+                t0 = time.perf_counter()
+                float(jnp.sum(f1(fpb + 1e-6 * i, fxb, fzb)))
+                u1s.append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                float(jnp.sum(f8(fpb + 1e-6 * i, fxb, fzb)))
+                u8s.append(time.perf_counter() - t0)
+            fstep = (float(np.median(u8s)) - float(np.median(u1s))) / 7.0
+            result["on_device_fleet_step_ms"] = round(fstep * 1e3, 2)
+            result["device_plans_per_s"] = round(batch / fstep, 1)
+            log(f"device rate: {result['device_plans_per_s']} plans/s "
+                f"({result['on_device_fleet_step_ms']} ms/fleet step)")
+            emit(result)
 
     # ---- Phase 4: end-to-end single-robot tick --------------------------
     if remaining() > 240:
