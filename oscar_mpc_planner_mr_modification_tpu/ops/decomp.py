@@ -45,14 +45,31 @@ def occupied_points_from_costmap(costmap) -> np.ndarray:
 
 
 class EllipsoidDecomp2D:
-    def __init__(self, local_range: float = 2.0, max_constraints: int = 12):
+    def __init__(self, local_range: float = 2.0, max_constraints: int = 12,
+                 backend: str = "auto"):
+        """backend: "auto" uses the native C++ library (native/decomp.cpp,
+        the reference's external decomp_util role) when it builds/loads,
+        falling back to this module's numpy implementation; "python" forces
+        numpy; "cpp" requires the native library."""
         self.local_range = local_range
         self.max_constraints = max_constraints
+        self.backend = backend
 
     def dilate_path(self, path: np.ndarray, obstacles: np.ndarray
                     ) -> List[List[Halfplane]]:
         """Per path point k>=1, halfspaces of the free polytope around segment
         (path[k-1], path[k]). Returns a list of lists of (a, b) with a.x <= b."""
+        if self.backend in ("auto", "cpp"):
+            from . import decomp_native
+
+            native = decomp_native.dilate_path(
+                np.asarray(path, dtype=float), np.asarray(obstacles, dtype=float)
+                if len(obstacles) else np.zeros((0, 2)),
+                self.local_range, self.max_constraints)
+            if native is not None:
+                return native
+            if self.backend == "cpp":
+                raise RuntimeError("native decomp backend unavailable")
         out: List[List[Halfplane]] = [[] for _ in range(len(path))]
         for k in range(1, len(path)):
             out[k] = self.dilate_segment(path[k - 1], path[k], obstacles)
