@@ -246,6 +246,37 @@ def test_track_best_false_is_fixed_step_semantics():
                                np.asarray(ref.z[:-1, :2]), atol=1e-4)
 
 
+def test_best_iterate_tracking_recovers_cold_start_failures():
+    """Full-step SQP cycles on hard cold-start instances; best-iterate merit
+    tracking must recover them at the SAME iteration budget (measured on the
+    CC-MPC random-scene set: 0.898 -> 1.000 success at 10x8 f32). This pins
+    the robustness property the track_best knob exists for."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/tools")
+    import bench_matrix as bm
+
+    from oscar_mpc_planner_mr_modification_tpu.ops.sqp import (
+        make_fleet_sqp_solver)
+
+    rng = np.random.default_rng(0)
+    ocp, P, x0, z0 = bm.build_ccmpc(14, 48, rng)
+    args = (jnp.asarray(P), jnp.asarray(x0), jnp.asarray(z0))
+    base = SQPConfig(n_sqp=10, n_qp_iter=8, mu_min=1e-6, w_max=1e6,
+                     reg_eps=1e-4, regularization="gershgorin")
+    r_fixed = make_fleet_sqp_solver(
+        ocp, base._replace(track_best=False), dtype=jnp.float32,
+        backend="xla")(*args)
+    r_track = make_fleet_sqp_solver(
+        ocp, base, dtype=jnp.float32, backend="xla")(*args)
+    ok_fixed = np.asarray(r_fixed.success)
+    ok_track = np.asarray(r_track.success)
+    # Tracking never loses an instance the fixed-step path solves...
+    assert not np.any(ok_fixed & ~ok_track)
+    # ...and solves this whole benign-random set
+    assert ok_track.all(), f"tracking success {ok_track.mean():.3f}"
+
+
 def contouring_setup(N=15, n_obstacles=2):
     """BASELINE config-2 flavor: MPCC contouring + ellipsoidal obstacles on a
     straight reference spline."""
