@@ -134,7 +134,7 @@ def _spd_inv(M):
 # Kernel
 # ---------------------------------------------------------------------------
 def _qp_kernel(H_ref, g_ref, A_ref, B_ref, c_ref, D_ref, e_ref, r0_ref,
-               *rest, T, nz, nx, nu, m, mh, row_meta, stage_mask, n_iters,
+               *rest, T, nz, nx, nu, m, mh, nU, row_meta, stage_mask, n_iters,
                mu0, mu_min, tau, w_max, s_floor, tol_freeze,
                warm=False, duals_out=False):
     """One grid program: solve TILE_B QPs end-to-end in VMEM.
@@ -156,7 +156,7 @@ def _qp_kernel(H_ref, g_ref, A_ref, B_ref, c_ref, D_ref, e_ref, r0_ref,
     Ab = A_ref[...].reshape(T - 1, nx, nx, SUBS, LANES)
     Bb = B_ref[...].reshape(T - 1, nx, nu, SUBS, LANES)
     cb = c_ref[...].reshape(T - 1, nx, SUBS, LANES)
-    Db = D_ref[...].reshape(T, max(mh, 1), nz, SUBS, LANES)
+    Db = D_ref[...].reshape(T, max(mh, 1), nU, SUBS, LANES)
     eb = e_ref[...].reshape(T, m, SUBS, LANES)
     r0b = r0_ref[...].reshape(nx, SUBS, LANES)
     lam0b = (lam0_ref[...].reshape(T, m, SUBS, LANES) if warm else None)
@@ -193,20 +193,19 @@ def _qp_kernel(H_ref, g_ref, A_ref, B_ref, c_ref, D_ref, e_ref, r0_ref,
     big = jnp.asarray(3e38, dtype)
     v0 = jnp.sqrt(jnp.asarray(mu0, dtype))
 
-    def row_D(r):
-        """Generic-row coefficient tiles [(T,S,L)] * nz."""
-        j = row_meta[r][1]
-        return [Db[:, j, q] for q in range(nz)]
-
     def row_Dz(r, zv):
-        """(D z)[row r] over all stages -> (T, S, L)."""
+        """(D z)[row r] over all stages -> (T, S, L). Generic rows contract
+        only their static column support (meta = ("h", slot, ((u, col), ...))
+        with u indexing the compacted D storage)."""
         meta = row_meta[r]
         if meta[0] == "box":
             return meta[2] * zv[:, meta[1]]
-        j = meta[1]
-        acc = Db[:, j, 0] * zv[:, 0]
-        for q in range(1, nz):
-            acc = acc + Db[:, j, q] * zv[:, q]
+        j, pairs = meta[1], meta[2]
+        if not pairs:
+            return jnp.zeros_like(zv[:, 0])
+        acc = Db[:, j, pairs[0][0]] * zv[:, pairs[0][1]]
+        for ui, zc in pairs[1:]:
+            acc = acc + Db[:, j, ui] * zv[:, zc]
         return acc
 
     if warm:
@@ -329,11 +328,12 @@ def _qp_kernel(H_ref, g_ref, A_ref, B_ref, c_ref, D_ref, e_ref, r0_ref,
                 col = meta[1]  # sign^2 == 1
                 Hbar[col][col] = Hbar[col][col] + W_r
             else:
-                D_r = row_D(r)
-                for i in range(nz):
-                    DW_i = D_r[i] * W_r
-                    for q in range(nz):
-                        Hbar[i][q] = Hbar[i][q] + DW_i * D_r[q]
+                j, pairs = meta[1], meta[2]
+                for ui_a, col_a in pairs:
+                    DW = Db[:, j, ui_a] * W_r
+                    for ui_b, col_b in pairs:
+                        Hbar[col_a][col_b] = (Hbar[col_a][col_b]
+                                              + DW * Db[:, j, ui_b])
             c_r = jnp.sum(masks[r] * s[:, r] * lam[:, r], axis=0)
             comp = c_r if comp is None else comp + c_r
             f_r = jnp.max(jnp.abs(masks[r] * rin), axis=0)
@@ -375,9 +375,9 @@ def _qp_kernel(H_ref, g_ref, A_ref, B_ref, c_ref, D_ref, e_ref, r0_ref,
                     col, sign = meta[1], meta[2]
                     gbar[col] = gbar[col] + sign * w_vec
                 else:
-                    D_r = row_D(r)
-                    for i in range(nz):
-                        gbar[i] = gbar[i] + D_r[i] * w_vec
+                    j, pairs = meta[1], meta[2]
+                    for ui, zc in pairs:
+                        gbar[zc] = gbar[zc] + Db[:, j, ui] * w_vec
             return gbar
 
         def dlam_of(r, rhs3_r, ds_r):
@@ -490,12 +490,31 @@ def _make_solver(shape_key, mask_bytes, row_meta, nu, n_iters, mu0, mu_min,
     if row_meta is None:
         row_meta = tuple(("h", r) for r in range(m))
     h_rows = [r for r, meta in enumerate(row_meta) if meta[0] == "h"]
-    # Re-map generic rows to their (compacted) D storage slots
-    row_meta = tuple(
-        ("h", h_rows.index(r)) if meta[0] == "h" else meta
-        for r, meta in enumerate(row_meta))
     mh = len(h_rows)
     h_idx = np.asarray(h_rows, dtype=np.int64)
+    # Static column support of the generic rows (sparse D): the union of the
+    # per-row supports is the D storage width; rows address their own columns
+    # inside the union. A legacy ("h", slot) entry (no support info) makes
+    # every column supported (dense fallback).
+    dense = any(meta[0] == "h" and len(meta) < 3 for meta in row_meta)
+    if dense:
+        union_cols = tuple(range(nz))
+    else:
+        cols = set()
+        for meta in row_meta:
+            if meta[0] == "h":
+                cols.update(meta[2])
+        union_cols = tuple(sorted(cols)) if cols else (0,)
+    nU = len(union_cols)
+    u_of = {c: u for u, c in enumerate(union_cols)}
+    # Re-map generic rows to their (compacted) D storage slots; each carries
+    # its static (union_index, z_column) contraction pairs
+    row_meta = tuple(
+        ("h", h_rows.index(r),
+         tuple((u_of[c], c) for c in (meta[2] if not dense and len(meta) > 2
+                                      else range(nz))))
+        if meta[0] == "h" else meta
+        for r, meta in enumerate(row_meta))
 
     pad = (-Bt) % TILE_B
     Bp = Bt + pad
@@ -503,7 +522,7 @@ def _make_solver(shape_key, mask_bytes, row_meta, nu, n_iters, mu0, mu_min,
 
     itemsize = dtype.itemsize
     fields_in = (T * nz * nz + T * nz + (T - 1) * nx * nx + (T - 1) * nx * nu
-                 + (T - 1) * nx + T * max(mh, 1) * nz + T * m + nx
+                 + (T - 1) * nx + T * max(mh, 1) * nU + T * m + nx
                  + (T * m if warm else 0))
     # Rough per-tile working set: inputs + 3 cached (T,m) row families +
     # s/lam state + Hbar + factor lists + a few (T,nz) vectors
@@ -513,13 +532,13 @@ def _make_solver(shape_key, mask_bytes, row_meta, nu, n_iters, mu0, mu_min,
     chunked = est_bytes > _PIPELINE_VMEM_BYTES and n_tiles > 1
 
     kernel = functools.partial(
-        _qp_kernel, T=T, nz=nz, nx=nx, nu=nu, m=m, mh=mh,
+        _qp_kernel, T=T, nz=nz, nx=nx, nu=nu, m=m, mh=mh, nU=nU,
         row_meta=row_meta, stage_mask=stage_mask, n_iters=n_iters, mu0=mu0,
         mu_min=mu_min, tau=tau, w_max=w_max, s_floor=s_floor,
         tol_freeze=tol_freeze, warm=warm, duals_out=duals_out)
 
     in_fields = [T * nz * nz, T * nz, (T - 1) * nx * nx, (T - 1) * nx * nu,
-                 (T - 1) * nx, T * max(mh, 1) * nz, T * m, nx]
+                 (T - 1) * nx, T * max(mh, 1) * nU, T * m, nx]
     if warm:
         in_fields.append(T * m)
     out_fields = T * nz
@@ -575,9 +594,9 @@ def _make_solver(shape_key, mask_bytes, row_meta, nu, n_iters, mu0, mu_min,
             return x.T.reshape(fields, Bp // LANES, LANES)
 
         if mh:
-            D_h = D[:, :, h_idx, :]
+            D_h = D[:, :, h_idx, :][..., np.asarray(union_cols)]
         else:
-            D_h = jnp.zeros((Bt, T, 1, nz), dtype)
+            D_h = jnp.zeros((Bt, T, 1, nU), dtype)
         H_pad = jnp.tile(jnp.eye(nz, dtype=dtype)[None], (T, 1, 1)).reshape(-1)
         ins = [
             to_lanes(H.astype(dtype), in_fields[0], pad_rows=H_pad),
@@ -719,7 +738,10 @@ def solve_qp_lanes(lane_qp, stage_mask, *, nu: int, n_iters: int = 12,
     m = lane_qp.e.shape[1]
     mask_np = np.asarray(stage_mask, dtype=np.float64)
     if row_meta is not None:
-        row_meta = tuple(tuple(meta) for meta in row_meta)
+        # Lane D storage is dense (T, mh, nz): strip any column-support info
+        row_meta = tuple(
+            ("h", meta[1]) if meta[0] == "h" else tuple(meta)
+            for meta in row_meta)
         mh = sum(1 for meta in row_meta if meta[0] == "h")
     else:
         mh = m
