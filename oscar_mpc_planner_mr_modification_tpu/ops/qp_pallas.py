@@ -150,8 +150,17 @@ def _qp_kernel(H_ref, g_ref, A_ref, B_ref, c_ref, D_ref, e_ref, r0_ref,
     z_ref = rest[0]
     lam_ref = rest[1] if duals_out else None
 
-    # Bulk loads; trailing dims are the (SUBS, LANES) batch tile
-    Hb = H_ref[...].reshape(T, nz, nz, SUBS, LANES)
+    # Bulk loads; trailing dims are the (SUBS, LANES) batch tile.
+    # H ships as its upper triangle only (symmetric: nz(nz+1)/2 entries);
+    # _tri maps (i, q) -> packed index.
+    ntri = nz * (nz + 1) // 2
+    _tri = {}
+    _t = 0
+    for _i in range(nz):
+        for _q in range(_i, nz):
+            _tri[(_i, _q)] = _tri[(_q, _i)] = _t
+            _t += 1
+    Hb = H_ref[...].reshape(T, ntri, SUBS, LANES)
     gb = g_ref[...].reshape(T, nz, SUBS, LANES)
     Ab = A_ref[...].reshape(T - 1, nx, nx, SUBS, LANES)
     Bb = B_ref[...].reshape(T - 1, nx, nu, SUBS, LANES)
@@ -315,7 +324,7 @@ def _qp_kernel(H_ref, g_ref, A_ref, B_ref, c_ref, D_ref, e_ref, r0_ref,
         # ---- Pass A: residuals, W, Hbar accumulation, comp, feas ---------
         # Hbar as nested [i][q] lists of (T,S,L) so diagonal (box) updates and
         # outer-product (generic) updates are slice-local, no scatter.
-        Hbar = [[Hb[:, i, q] for q in range(nz)] for i in range(nz)]
+        Hbar = [[Hb[:, _tri[(i, q)]] for q in range(nz)] for i in range(nz)]
         rin_rows = [None] * m  # cached residuals r_ineq (one (T,S,L) per row)
         comp = None
         feas = None
@@ -360,7 +369,7 @@ def _qp_kernel(H_ref, g_ref, A_ref, B_ref, c_ref, D_ref, e_ref, r0_ref,
         for i in range(nz):
             acc = gb[:, i]
             for j in range(nz):
-                acc = acc + Hb[:, i, j] * z[:, j]
+                acc = acc + Hb[:, _tri[(i, j)]] * z[:, j]
             Hz_g.append(acc)  # [(T,S,L)] * nz
 
         def gbar_accum(rhs3_rows):
@@ -521,7 +530,9 @@ def _make_solver(shape_key, mask_bytes, row_meta, nu, n_iters, mu0, mu_min,
     n_tiles = Bp // TILE_B
 
     itemsize = dtype.itemsize
-    fields_in = (T * nz * nz + T * nz + (T - 1) * nx * nx + (T - 1) * nx * nu
+    ntri = nz * (nz + 1) // 2  # H ships as its upper triangle (symmetric)
+    tri_iu, tri_ju = np.triu_indices(nz)
+    fields_in = (T * ntri + T * nz + (T - 1) * nx * nx + (T - 1) * nx * nu
                  + (T - 1) * nx + T * max(mh, 1) * nU + T * m + nx
                  + (T * m if warm else 0))
     # Rough per-tile working set: inputs + 3 cached (T,m) row families +
@@ -537,7 +548,7 @@ def _make_solver(shape_key, mask_bytes, row_meta, nu, n_iters, mu0, mu_min,
         mu_min=mu_min, tau=tau, w_max=w_max, s_floor=s_floor,
         tol_freeze=tol_freeze, warm=warm, duals_out=duals_out)
 
-    in_fields = [T * nz * nz, T * nz, (T - 1) * nx * nx, (T - 1) * nx * nu,
+    in_fields = [T * ntri, T * nz, (T - 1) * nx * nx, (T - 1) * nx * nu,
                  (T - 1) * nx, T * max(mh, 1) * nU, T * m, nx]
     if warm:
         in_fields.append(T * m)
@@ -597,9 +608,11 @@ def _make_solver(shape_key, mask_bytes, row_meta, nu, n_iters, mu0, mu_min,
             D_h = D[:, :, h_idx, :][..., np.asarray(union_cols)]
         else:
             D_h = jnp.zeros((Bt, T, 1, nU), dtype)
-        H_pad = jnp.tile(jnp.eye(nz, dtype=dtype)[None], (T, 1, 1)).reshape(-1)
+        H_tri = H.astype(dtype)[..., tri_iu, tri_ju]  # (Bt, T, ntri)
+        H_pad = jnp.tile(
+            jnp.eye(nz, dtype=dtype)[tri_iu, tri_ju][None], (T, 1)).reshape(-1)
         ins = [
-            to_lanes(H.astype(dtype), in_fields[0], pad_rows=H_pad),
+            to_lanes(H_tri, in_fields[0], pad_rows=H_pad),
             to_lanes(g.astype(dtype), in_fields[1]),
             to_lanes(A.astype(dtype), in_fields[2]),
             to_lanes(B.astype(dtype), in_fields[3]),
@@ -639,7 +652,8 @@ def _make_solver(shape_key, mask_bytes, row_meta, nu, n_iters, mu0, mu_min,
                     [x, jnp.broadcast_to(x[:, -1:], (fields, pad))], axis=1)
             return x.reshape(fields, Bp // LANES, LANES)
 
-        ins = [lanes(H, in_fields[0]), lanes(g, in_fields[1]),
+        H_tri = H[:, tri_iu, tri_ju]  # (T, ntri, Bt)
+        ins = [lanes(H_tri, in_fields[0]), lanes(g, in_fields[1]),
                lanes(A, in_fields[2]), lanes(B, in_fields[3]),
                lanes(c, in_fields[4]), lanes(D, in_fields[5]),
                lanes(e, in_fields[6]), lanes(r0, in_fields[7])]
