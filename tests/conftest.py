@@ -22,3 +22,11 @@ jax.config.update("jax_enable_x64", True)
 assert jax.devices()[0].platform == "cpu", (
     "tests must run on the CPU backend; got " + jax.devices()[0].platform)
 assert len(jax.devices()) >= 8, "expected the virtual 8-device CPU mesh"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: interpret-mode Pallas tests (minutes each on XLA:CPU); "
+        "deselect with -m 'not slow' for a quick pass — the full suite "
+        "including these is the merge gate")

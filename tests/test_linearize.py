@@ -111,6 +111,7 @@ def test_lane_merit_matches_fleet_merit_semantics():
             float(m[b]), c + config.merit_eq_weight * eq, rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_lane_fleet_solver_matches_xla_backend():
     """Full SQP parity: backend="lanes" (lane linearizer + lane kernel entry,
     interpret mode) vs backend="xla" on the BASELINE config-1 OCP."""
@@ -144,6 +145,7 @@ def test_lane_fleet_solver_matches_xla_backend():
                                np.asarray(r_xla.cost), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_lane_backend_falls_back_on_unsupported_ocp():
     """An OCP whose functions are not elementwise-polymorphic must fall back
     to the batch-major pallas path with a warning, not crash."""

@@ -21,6 +21,7 @@ from test_qp import random_qp
 from test_sqp import goal_tracking_setup
 
 
+@pytest.mark.slow
 def test_pallas_kernel_matches_xla_qp_interpret():
     """solve_qp_batched(interpret=True) vs per-instance ops/qp.solve_qp on the
     random stagewise QP generators, including active-constraint instances."""
@@ -55,6 +56,7 @@ def test_pallas_kernel_matches_xla_qp_interpret():
         np.testing.assert_allclose(z_k[-1, 2:], z_ref[-1, 2:], atol=5e-5)
 
 
+@pytest.mark.slow
 def test_fleet_sqp_pallas_backend_matches_xla_backend():
     """Full SQP parity through make_fleet_sqp_solver with the pallas backend in
     interpret mode vs the XLA backend, on the BASELINE config-1 OCP."""
@@ -93,6 +95,7 @@ def test_fleet_sqp_pallas_backend_matches_xla_backend():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pallas_kernel_large_m_with_box_rows():
     """SH-MPC-sized row count (24 generic halfspaces + 16 box rows = m=40,
     the scenario_constraints sizing, reference scripts/scenario_constraints.py:
@@ -166,6 +169,7 @@ def test_pallas_kernel_large_m_with_box_rows():
             assert (slack[act] > -1e-6).all(), f"box row {j} violated"
 
 
+@pytest.mark.slow
 def test_warm_started_duals_reach_cold_solution():
     """solve_qp_batched_duals: a warm restart from the cold solve's own duals
     must reproduce the cold solution in far fewer IP iterations, including on
@@ -207,6 +211,7 @@ def test_warm_started_duals_reach_cold_solution():
                                atol=1e-4)
 
 
+@pytest.mark.slow
 def test_fleet_sqp_dual_warm_start_matches_cold():
     """make_fleet_sqp_solver with n_qp_iter_warm reaches the same SQP fixed
     point as the all-cold pallas path and the XLA backend (interpret mode)."""
