@@ -29,8 +29,16 @@ from typing import List, Optional
 import numpy as np
 
 from ..planner.data_preparation import get_constant_velocity_prediction
-from ..types import PlannerState
+from ..types import DynamicObstacle, PlannerState
 from .driver import RobotAgent
+
+
+@dataclass
+class _ObstacleHolder:
+    """Minimal duck-typed container so update_noncommunicating_obstacles can
+    operate on the agent's persistent tracked-obstacle store."""
+
+    dynamic_obstacles: list
 
 
 @dataclass
@@ -121,8 +129,12 @@ def update_noncommunicating_obstacles(data, objects: List[TrackedObject],
             ) + np.pi / 2.0
         else:
             angle = obj.yaw
-        # Body-frame twist -> global frame (:581-584: R(-yaw) @ v_body)
-        c, s = np.cos(-obj.yaw), np.sin(-obj.yaw)
+        # Body-frame twist -> global frame (:581-584). The reference applies
+        # RosTools::rotationMatrixFromHeading(-yaw), and that helper is the
+        # GLOBAL->BODY matrix [[cos h, sin h], [-sin h, cos h]] (see its
+        # global-to-local use at mpc_planner_dingo/src/ros1_planner.cpp:131),
+        # so rotationMatrixFromHeading(-yaw) @ v_body rotates by +yaw.
+        c, s = np.cos(obj.yaw), np.sin(obj.yaw)
         global_vel = np.array([
             c * obj.body_velocity[0] - s * obj.body_velocity[1],
             s * obj.body_velocity[0] + c * obj.body_velocity[1]])
@@ -150,6 +162,13 @@ class RealVehicleAgent(RobotAgent):
         self.io = io
         self.n_robot_ids = n_robot_ids
         self._pose_received = False
+        # Persistent store of non-communicating (Vicon) obstacles, keyed by
+        # tracked-object id. prepare_obstacle_data rebuilds
+        # data.dynamic_obstacles from external_obstacles + peers every plan
+        # cycle, so Vicon objects must live here and flow in as externals
+        # (the reference keeps them alive in _data.dynamic_obstacles across
+        # cycles, jules_ros1_real_jackalplanner.cpp:532-620).
+        self._tracked_obstacles = {}
 
     def tick(self, external_obstacles=None):
         pose = self.io.read_pose()
@@ -160,13 +179,27 @@ class RealVehicleAgent(RobotAgent):
             self.state.set("v", float(pose.velocity))
             self._pose_received = True
         objects = self.io.read_tracked_objects()
-        if objects and self.fsm in (PlannerState.WAITING_FOR_TRAJECTORY_DATA,
-                                    PlannerState.PLANNING_ACTIVE,
-                                    PlannerState.GOAL_REACHED):
+        if objects:
+            dt, N = self.planner.solver.dt, self.planner.solver.N
+            radius = float(self.settings.get("obstacle_radius",
+                                             self.settings["robot_radius"]))
+            for obj in objects:
+                if obj.id < self.n_robot_ids:
+                    continue
+                if obj.id not in self._tracked_obstacles:
+                    obs = DynamicObstacle(index=obj.id,
+                                          position=np.asarray(obj.position,
+                                                              dtype=float),
+                                          radius=radius)
+                    obs.prediction = get_constant_velocity_prediction(
+                        obs.position, np.zeros(2), dt, N)
+                    self._tracked_obstacles[obj.id] = obs
+            holder = _ObstacleHolder(list(self._tracked_obstacles.values()))
             update_noncommunicating_obstacles(
-                self.data, objects, self.n_robot_ids,
-                self.planner.solver.dt, self.planner.solver.N)
-        m = super().tick(external_obstacles=external_obstacles)
+                holder, objects, self.n_robot_ids, dt, N)
+        merged = list(external_obstacles or [])
+        merged.extend(self._tracked_obstacles.values())
+        m = super().tick(external_obstacles=merged or None)
         # Push the command to the physical controller
         if self.fsm in (PlannerState.PLANNING_ACTIVE,
                         PlannerState.WAITING_FOR_TRAJECTORY_DATA):

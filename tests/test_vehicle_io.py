@@ -33,7 +33,10 @@ class FakeClock:
 
 def test_update_noncommunicating_obstacles_vicon_semantics():
     """Reference :532-620: robots (id < n_robot_ids) skipped; body-frame
-    twist rotated by R(-yaw) into the global frame; prediction refreshed."""
+    twist rotated by R(+yaw) into the global frame (the reference's
+    rotationMatrixFromHeading(-yaw) is the body->global rotation, since
+    rotationMatrixFromHeading(h) is global->body — see its use at
+    mpc_planner_dingo/src/ros1_planner.cpp:131); prediction refreshed."""
     data = RealTimeData()
     for idx in (0, 7):  # id 0 = a robot, id 7 = a Vicon bundle object
         obs = DynamicObstacle(index=idx, position=np.zeros(2), radius=0.3)
@@ -55,10 +58,11 @@ def test_update_noncommunicating_obstacles_vicon_semantics():
     np.testing.assert_allclose(data.dynamic_obstacles[0].position, 0.0)
     obs7 = data.dynamic_obstacles[1]
     np.testing.assert_allclose(obs7.position, [2.0, 1.0])
-    # R(-pi/2) @ [0.5, 0] = [0, -0.5]: global velocity points -y
+    # R(+pi/2) @ [0.5, 0] = [0, +0.5]: object facing +y moving forward is
+    # predicted moving +y
     p0 = obs7.prediction.modes[0][0].position
     p3 = obs7.prediction.modes[0][3].position
-    np.testing.assert_allclose(p3 - p0, [0.0, -0.5 * 0.2 * 3], atol=1e-9)
+    np.testing.assert_allclose(p3 - p0, [0.0, 0.5 * 0.2 * 3], atol=1e-9)
     # Moving object: orientation aligned with motion direction
     assert abs(obs7.angle - (yaw + 0.0 + np.pi / 2)) < 1e-9
 
@@ -101,6 +105,16 @@ def test_real_vehicle_agent_closed_loop():
     assert max(v_cmds) > 0.1, "vehicle should be commanded forward"
     # Ego state tracks the external pose stream, not integration
     assert abs(agent.state.get("x") - poses[11].position[0]) < 0.11
+    # The Vicon object must survive prepare_obstacle_data's rebuild and reach
+    # the planner's obstacle set (regression: updates applied to
+    # data.dynamic_obstacles directly were wiped every plan cycle)
+    vicon = [o for o in agent.data.dynamic_obstacles if o.index == 5]
+    assert vicon, "tracked object must be planned against"
+    q0 = vicon[0].prediction.modes[0][0].position
+    q1 = vicon[0].prediction.modes[0][1].position
+    vv = (q1 - q0) / planner.solver.dt
+    # Object facing -y moving forward in body frame -> global -y motion
+    np.testing.assert_allclose(vv, [0.0, -0.5], atol=1e-6)
 
 
 def test_real_vehicle_agent_brakes_on_missing_plan():
