@@ -312,6 +312,21 @@ def _qp_kernel(H_ref, g_ref, A_ref, B_ref, c_ref, D_ref, e_ref, r0_ref,
         dz_rows.append(jnp.stack([jnp.zeros_like(dx[0])] * nu + dx))
         return jnp.stack(dz_rows)  # (T, nz, S, L)
 
+    if not act_rows:
+        # No active inequality rows at any stage (m == 0 is padded to one
+        # all-masked row by the wrappers): the QP is equality-constrained and
+        # ONE exact Riccati solve from z = 0 finishes it. Previously this
+        # shape crashed at trace time on comp/feas/alpha_aff = None (round-2
+        # ADVICE finding).
+        Hbar0 = [[Hb[:, _tri[(i, q)]] for q in range(nz)] for i in range(nz)]
+        fact0 = factor(Hbar0)
+        dz0 = solve_vec(fact0, [gb[:, i] for i in range(nz)], cb,
+                        [r0b[i] for i in range(nx)])
+        z_ref[...] = dz0.reshape(T * nz, SUBS, LANES)
+        if duals_out:
+            lam_ref[...] = jnp.zeros((T * m, SUBS, LANES), dtype)
+        return
+
     def ftb_row(r, v, dv):
         """Fraction-to-boundary per row -> (S, L) min over stages."""
         ratio = jnp.where(dv < 0, -v / jnp.minimum(dv, -1e-30), big)
@@ -692,6 +707,15 @@ def solve_qp_batched(H, g, A, B, c, D, e, row_mask, r0, *, nu: int,
             "structure), not a traced value") from exc
     if mask_np.ndim == 3:
         mask_np = mask_np[0]
+    if m == 0:
+        # Unconstrained QP: pad to ONE all-masked box row so no zero-size
+        # pallas block exists; the kernel short-circuits to a single exact
+        # Riccati solve when no row is active.
+        D = jnp.zeros((Bt, T, 1, nz), H.dtype)
+        e = jnp.ones((Bt, T, 1), H.dtype)
+        mask_np = np.zeros((T, 1))
+        row_meta = (("box", 0, 1.0),)
+        m = 1
     if row_meta is not None:
         row_meta = tuple(tuple(meta) for meta in row_meta)
     solver = _make_solver(
@@ -720,6 +744,10 @@ def solve_qp_batched_duals(H, g, A, B, c, D, e, row_mask, r0, *, nu: int,
     Bt, T, nz, _ = H.shape
     nx = A.shape[-1]
     m = D.shape[2]
+    if m == 0:
+        raise ValueError(
+            "solve_qp_batched_duals needs at least one inequality row "
+            "(m == 0 has no duals to return); use solve_qp_batched")
     mask_np = np.asarray(row_mask, dtype=np.float64)
     if mask_np.ndim == 3:
         mask_np = mask_np[0]
@@ -751,6 +779,14 @@ def solve_qp_lanes(lane_qp, stage_mask, *, nu: int, n_iters: int = 12,
     nx = lane_qp.A.shape[1]
     m = lane_qp.e.shape[1]
     mask_np = np.asarray(stage_mask, dtype=np.float64)
+    if m == 0:
+        # Pad to one all-masked row (see solve_qp_batched); the kernel
+        # short-circuits to one exact Riccati solve.
+        lane_qp = lane_qp._replace(
+            e=jnp.ones((T, 1, Bt), lane_qp.H.dtype))
+        mask_np = np.zeros((T, 1))
+        row_meta = (("box", 0, 1.0),)
+        m = 1
     if row_meta is not None:
         # Lane D storage is dense (T, mh, nz): strip any column-support info
         row_meta = tuple(

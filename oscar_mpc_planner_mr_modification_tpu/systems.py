@@ -98,11 +98,21 @@ class WeightTuner:
     def __init__(self, planner):
         self.planner = planner
         self.settings = planner.settings
-        self._tunable = set(planner.solver.ocp.registry.rqt_params)
+        reg = planner.solver.ocp.registry
+        self._tunable = set(reg.rqt_params)
+        # Slider ranges from the registry metadata (reference rqt_reconfigure
+        # .cfg generation, solver_generator/util/parameters.py:25-62 +
+        # generate_cpp_files.py:263-349): values outside [min, max] are
+        # clamped, exactly like an rqt slider cannot leave its range.
+        self._ranges = {name: reg.rqt_range(name) for name in reg.rqt_params}
 
     @property
     def tunable(self):
         return sorted(self._tunable)
+
+    def range(self, name: str):
+        """(min, max) slider range of a tunable weight (0..100 default)."""
+        return self._ranges.get(name, (0.0, 100.0))
 
     def get(self, name: str) -> float:
         return float(self.settings["weights"][name])
@@ -111,7 +121,8 @@ class WeightTuner:
         if name not in self._tunable and name not in self.settings["weights"]:
             raise KeyError(f"'{name}' is not a declared tunable weight; "
                            f"available: {self.tunable}")
-        self.settings["weights"][name] = float(value)
+        lo, hi = self.range(name)
+        self.settings["weights"][name] = min(max(float(value), lo), hi)
 
 
 class LocalPlannerInterface:

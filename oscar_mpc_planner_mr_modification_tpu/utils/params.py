@@ -59,11 +59,23 @@ class ParameterRegistry:
         self._indices: Dict[str, int] = {}
         self._bundles: Dict[str, List[int]] = {}
         self.rqt_params: List[str] = []  # "tunable weight" subset, kept for parity
+        # rqt slider metadata, parallel to rqt_params (reference
+        # solver_generator/util/parameters.py:17-20,56-61)
+        self.rqt_param_config_names: List[str] = []
+        self.rqt_param_min_values: List[float] = []
+        self.rqt_param_max_values: List[float] = []
         self._frozen = False
 
     # -- definition phase -------------------------------------------------
     def add(self, name: str, add_to_rqt_reconfigure: bool = False,
-            bundle_name: Optional[str] = None, **_ignored) -> None:
+            bundle_name: Optional[str] = None,
+            rqt_config_name: Optional[str] = None,
+            rqt_min_value: float = 0.0, rqt_max_value: float = 100.0,
+            **_ignored) -> None:
+        """Register a parameter. ``rqt_min_value``/``rqt_max_value`` are the
+        tuning-slider range for rqt-exposed weights (reference defaults
+        0..100, solver_generator/util/parameters.py:25-32); runtime tuners
+        (:class:`..systems.WeightTuner`) clamp to this range."""
         if self._frozen:
             raise RuntimeError("ParameterRegistry is frozen; cannot add parameters")
         if name in self._indices:
@@ -74,6 +86,16 @@ class ParameterRegistry:
         self._bundles.setdefault(bundle, []).append(idx)
         if add_to_rqt_reconfigure:
             self.rqt_params.append(name)
+            self.rqt_param_config_names.append(
+                rqt_config_name if rqt_config_name is not None
+                else f'["weights"]["{name}"]')
+            self.rqt_param_min_values.append(float(rqt_min_value))
+            self.rqt_param_max_values.append(float(rqt_max_value))
+
+    def rqt_range(self, name: str):
+        """(min, max) slider range of an rqt-exposed parameter."""
+        i = self.rqt_params.index(name)
+        return self.rqt_param_min_values[i], self.rqt_param_max_values[i]
 
     def freeze(self) -> None:
         self._frozen = True

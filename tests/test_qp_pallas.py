@@ -255,3 +255,47 @@ def test_kernel_capacity_cliffs_are_explicit():
         out = _spd_inv([[2.0 if i == j else 0.0 for j in range(n)]
                         for i in range(n)])
         assert len(out) == n
+
+
+def test_pallas_kernel_unconstrained_and_all_masked():
+    """m == 0 and all-masked stage masks short-circuit to one exact Riccati
+    solve. Round-2 ADVICE: these shapes crashed at trace time
+    (comp/feas/alpha_aff stayed None); the wrappers now pad m == 0 to one
+    all-masked row and the kernel solves the equality-constrained QP directly.
+    """
+    from test_qp import scipy_reference
+
+    _, raw = random_qp(3)
+    H, g, A, B, c, _, _, _, r0 = raw
+    T, nz = g.shape
+    no_rows = (np.zeros((T, 0, nz)), np.zeros((T, 0)), np.zeros((T, 0)))
+    z_ref = scipy_reference(H, g, A, B, c, *no_rows, r0, nu=2)
+
+    def kernel_solve(Dv, ev, maskv):
+        args = [jnp.asarray(x)[None] for x in (H, g, A, B, c, Dv, ev)]
+        return np.asarray(solve_qp_batched(
+            *args, jnp.asarray(maskv), jnp.asarray(r0)[None], nu=2,
+            interpret=True))[0]
+
+    # m == 0: no inequality rows at all
+    z0 = kernel_solve(*no_rows)
+    np.testing.assert_allclose(z0, z_ref, atol=1e-6)
+
+    # m > 0 but every row masked out at every stage
+    z1 = kernel_solve(np.random.default_rng(0).normal(size=(T, 2, nz)),
+                      np.ones((T, 2)), np.zeros((T, 2)))
+    np.testing.assert_allclose(z1, z_ref, atol=1e-6)
+
+
+def test_pallas_duals_reject_zero_rows():
+    from oscar_mpc_planner_mr_modification_tpu.ops.qp_pallas import (
+        solve_qp_batched_duals)
+
+    _, raw = random_qp(3)
+    H, g, A, B, c, _, _, _, r0 = raw
+    T, nz = g.shape
+    args = [jnp.asarray(x)[None]
+            for x in (H, g, A, B, c, np.zeros((T, 0, nz)), np.zeros((T, 0)))]
+    with pytest.raises(ValueError, match="m == 0"):
+        solve_qp_batched_duals(*args, jnp.zeros((T, 0)),
+                               jnp.asarray(r0)[None], nu=2, interpret=True)

@@ -30,6 +30,14 @@ def test_weight_tuner():
     assert settings["weights"]["acceleration"] == 0.5
     with pytest.raises(KeyError):
         tuner.set("not_a_weight", 1.0)
+    # Range clamping: rqt slider semantics (reference rqt_min/max metadata,
+    # solver_generator/util/parameters.py:25-62; default range 0..100)
+    lo, hi = tuner.range("acceleration")
+    assert (lo, hi) == (0.0, 100.0)
+    tuner.set("acceleration", -5.0)
+    assert tuner.get("acceleration") == lo
+    tuner.set("acceleration", 1e9)
+    assert tuner.get("acceleration") == hi
 
 
 def test_local_planner_interface_cycle():
