@@ -140,25 +140,6 @@ def _f32_safe(config: SQPConfig, dtype) -> SQPConfig:
     )
 
 
-def _probe_ineq_support(ocp, dtype, n_probes: int = 8, seed: int = 0):
-    """Static column support of each inequality row: columns of the Jacobian
-    jacfwd(ocp.ineq) that are nonzero at ANY of ``n_probes`` random (z, p)
-    points. The constraint functions are fixed algebraic expressions, so a
-    column that vanishes at 8 random points is structurally zero (and the
-    CPU interpret-mode parity suite would catch a wrong support). Returns a
-    list of nh frozen column tuples."""
-    rng = np.random.default_rng(seed)
-    support = np.zeros((ocp.nh, ocp.nvar), dtype=bool)
-    jac = jax.jit(jax.jacfwd(ocp.ineq))
-    for _ in range(n_probes):
-        z = jnp.asarray(rng.uniform(-2.0, 2.0, ocp.nvar), jnp.float64)
-        p = jnp.asarray(rng.uniform(0.1, 2.0, ocp.npar), jnp.float64)
-        C = np.asarray(jac(z, p))
-        # Non-finite at a probe point = can't rule the column out: keep it
-        support |= (C != 0.0) | ~np.isfinite(C)
-    return [tuple(int(j) for j in np.nonzero(row)[0]) for row in support]
-
-
 def _make_machinery(ocp, config: SQPConfig, dtype):
     """Shared per-stage linearization machinery for the solver entry points."""
     N, nu, nx, nvar, nh = ocp.N, ocp.nu, ocp.nx, ocp.nvar, ocp.nh
@@ -186,7 +167,15 @@ def _make_machinery(ocp, config: SQPConfig, dtype):
     # are functions of (x, y) [+psi with disc offsets], contouring width rows
     # of (x, y, s)), so the kernel stores/contracts only those columns instead
     # of all nz — less HBM traffic, |cols|^2 instead of nz^2 Hbar updates.
-    h_support = _probe_ineq_support(ocp, dtype) if nh > 0 else []
+    # Support is derived STRUCTURALLY from the traced jaxpr (ops/support.py):
+    # sound for parameter-gated / piecewise constraint terms that a numeric
+    # probe would mis-prune (round-2 ADVICE finding).
+    if nh > 0:
+        from .support import ineq_column_support
+
+        h_support = ineq_column_support(ocp)
+    else:
+        h_support = []
     row_meta = tuple(
         ("box", int(i), 1.0) if k == "zl"
         else ("box", int(i), -1.0) if k == "zu"

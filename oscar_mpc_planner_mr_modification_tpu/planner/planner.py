@@ -74,12 +74,19 @@ class Planner:
         # 5. Latch warmstart (planner.cpp:166)
         self.solver.load_warmstart()
 
-        # 6. Timeout budget is informational under jit (fixed iterations); the
-        #    reference computes 1/f - used - 6ms (planner.cpp:168-169)
+        # 6. Timeout budget: 1/f - used - 6ms (planner.cpp:168-169). The
+        #    solver adapts its (statically compiled) iteration count to this
+        #    budget (Solver.select_iterations). Budget tracking activates only
+        #    when the caller stamped data.planning_start_time on the
+        #    time.monotonic clock (real-vehicle/driver loops); sim-clock or
+        #    unset stamps yield a non-positive budget, which the solver treats
+        #    as "no budget information" and runs the full iteration count —
+        #    keeping simulated runs deterministic.
+        start = float(getattr(data, "planning_start_time", 0.0) or 0.0)
+        used = (time.monotonic() - start) if start > 0.0 else float("inf")
         self.solver.solver_timeout = (
             1.0 / float(self.settings.get("control_frequency", 20))
-            - (time.monotonic() - getattr(data, "planning_start_time", time.monotonic()))
-            - 0.006)
+            - used - 0.006)
 
         # 7. Optimize dispatch (planner.cpp:173-188)
         opt_bench = BENCHMARKERS.get("optimization")

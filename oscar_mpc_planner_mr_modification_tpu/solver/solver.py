@@ -46,6 +46,23 @@ class Solver:
         self.config = sqp_config
         self._solve_fn = make_sqp_solver(ocp, sqp_config, dtype=dtype)
 
+        # Budget-adaptive iteration control (reference: iterated RTI under a
+        # wall-clock timeout with mean-iteration-time prediction,
+        # acados_solver_interface.cpp:86-119; budget computed by the planner
+        # at planner.cpp:168-169). Iteration counts are static under jit, so
+        # the solver keeps a LADDER of precompilable n_sqp variants and
+        # selects the largest one predicted to fit the remaining budget.
+        # Variants compile lazily (first selection); the full-count variant
+        # is self._solve_fn above.
+        self.adaptive_iterations = bool(ss.get("adaptive_iterations", True))
+        n_full = sqp_config.n_sqp
+        self._iter_ladder = sorted(
+            {n_full, max(1, n_full // 2), max(1, n_full // 4)}, reverse=True)
+        self._ladder_fns = {n_full: self._solve_fn}
+        self._timed_variants = set()  # variants already past their compile call
+        self._iter_time_ema = 0.0  # seconds per SQP iteration (0 = unknown)
+        self.last_iterations_run = 0
+
         # Parameter buffer: the AcadosParameters.all_parameters analog
         self.params = ocp.registry.new_buffer(self.N)
         # Warmstart buffer x0: (N+1, nvar) = (u, x) per stage
@@ -180,15 +197,53 @@ class Solver:
         self._loaded_warmstart = self._x0.copy()
 
     # -- solve -------------------------------------------------------------
+    def select_iterations(self) -> int:
+        """Largest ladder iteration count predicted to fit solver_timeout.
+
+        Mirrors the reference's budget loop (acados_solver_interface.cpp:
+        99-117: keep iterating while elapsed + mean_iteration_time fits the
+        timeout); with static compiled iteration counts the prediction runs
+        once, host-side, before dispatch. Always returns at least the
+        smallest ladder entry (the reference always runs >= 1 iteration)."""
+        full = self._iter_ladder[0]
+        if (not self.adaptive_iterations or self._iter_time_ema <= 0.0
+                or self.solver_timeout <= 0.0):
+            return full
+        for n in self._iter_ladder:
+            if n * self._iter_time_ema <= self.solver_timeout:
+                return n
+        return self._iter_ladder[-1]
+
+    def _ladder_fn(self, n: int):
+        if n not in self._ladder_fns:
+            self._ladder_fns[n] = make_sqp_solver(
+                self.ocp, self.config._replace(n_sqp=n), dtype=self.dtype)
+        return self._ladder_fns[n]
+
     def solve(self) -> int:
+        import time as _time
+
         from ..ops.sqp import fetch_result_single
 
-        result: SQPResult = self._solve_fn(
+        n = self.select_iterations()
+        fn = self._ladder_fn(n)
+        first_call = n not in self._timed_variants
+        t0 = _time.perf_counter()
+        result: SQPResult = fn(
             jnp.asarray(self.params.data), jnp.asarray(self._xinit),
             jnp.asarray(self._loaded_warmstart))
         # One packed device->host transfer (separate field reads cost one
         # round-trip each on tunneled backends)
         self.load_result(fetch_result_single(result))
+        elapsed = _time.perf_counter() - t0
+        self.last_iterations_run = n
+        if first_call:
+            self._timed_variants.add(n)  # compile call: don't poison the EMA
+        else:
+            per_iter = elapsed / n
+            self._iter_time_ema = (per_iter if self._iter_time_ema <= 0.0
+                                   else 0.8 * self._iter_time_ema
+                                   + 0.2 * per_iter)
         return self._exit_code
 
     def load_result(self, result: SQPResult) -> int:

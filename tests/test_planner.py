@@ -347,3 +347,50 @@ def test_contouring_follows_curved_path():
     s_final = ref_spline.closest_s(state.get_position())
     assert s_final > 10.0, f"progress {s_final:.1f} m"
     assert max_lateral < 0.2, f"lateral error {max_lateral:.2f} m"
+
+
+def test_budget_adaptive_iteration_control():
+    """Reference semantics: the solve runs fewer RTI iterations when the tick
+    budget is nearly spent (acados_solver_interface.cpp:86-119, budget from
+    planner.cpp:168-169). A late-started tick provably runs a reduced ladder
+    variant and still emits a usable command."""
+    import time
+
+    planner, model, settings = make_planner(N=10, max_obstacles=2)
+    solver = planner.solver
+    assert solver.adaptive_iterations
+    assert solver._iter_ladder == [8, 4, 2]
+
+    # Deterministic selection unit checks
+    solver._iter_time_ema = 0.004
+    solver.solver_timeout = 0.050
+    assert solver.select_iterations() == 8   # 8*4ms = 32 <= 50
+    solver.solver_timeout = 0.020
+    assert solver.select_iterations() == 4   # 16 <= 20 < 32
+    solver.solver_timeout = 0.009
+    assert solver.select_iterations() == 2   # floor: always >= 1 iteration
+    solver.solver_timeout = 0.0              # no budget info -> full count
+    assert solver.select_iterations() == 8
+    solver._iter_time_ema = 0.0              # no timing info -> full count
+    solver.solver_timeout = 0.020
+    assert solver.select_iterations() == 8
+
+    state = State(model)
+    state.set("v", 0.5)
+    dt = planner.solver.dt
+    data = make_data(settings, state, [([3.0, 2.5], [0.0, 0.0])], 10, dt)
+
+    # Normal tick (no budget stamp): full iteration count
+    out = planner.solve_mpc(state, data)
+    assert out.success
+    assert solver.last_iterations_run == 8
+
+    # Late-started tick: stamp planning_start_time on the monotonic clock so
+    # only ~14 ms of the 50 ms budget remains -> the 2-iteration variant
+    solver._iter_time_ema = 0.004
+    data.planning_start_time = time.monotonic() - 0.030
+    out = planner.solve_mpc(state, data)
+    assert out.success, "reduced-iteration solve must still emit a command"
+    assert solver.last_iterations_run < 8
+    v_cmd = planner.get_solution(1, "v")
+    assert np.isfinite(v_cmd)
