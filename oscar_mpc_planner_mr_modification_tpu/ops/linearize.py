@@ -62,11 +62,21 @@ class LaneQP(NamedTuple):
 
 
 def _onehot_tangent(n: int, i: int, like, dtype):
-    """Tangent e_i broadcast over the trailing axes of ``like``: (n,) + like.shape[1:]."""
-    t = np.zeros((n,), dtype=np.float64)
-    t[i] = 1.0
-    t = jnp.asarray(t, dtype)
-    return jnp.broadcast_to(t.reshape((n,) + (1,) * (like.ndim - 1)), like.shape)
+    """Tangent e_i broadcast over the trailing axes of ``like``.
+
+    Synthesized from iota (not a captured array constant) so the same code
+    traces inside a Pallas kernel (ops/sqp_fused.py), where non-scalar
+    captured constants are not supported."""
+    io = jax.lax.broadcasted_iota(jnp.int32, (n,) + (1,) * (like.ndim - 1), 0)
+    return jnp.broadcast_to((io == i).astype(dtype), like.shape)
+
+
+def _eye(n: int, dtype, extra_dims: int):
+    """Identity (n, n) with ``extra_dims`` trailing singleton axes, iota-
+    synthesized (Pallas-safe, see _onehot_tangent)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return ((r == c).astype(dtype)).reshape((n, n) + (1,) * extra_dims)
 
 
 def make_lane_linearizer(ocp, config, dtype=jnp.float32):
@@ -95,10 +105,11 @@ def make_lane_linearizer(ocp, config, dtype=jnp.float32):
             f"(gershgorin/levenberg/none), not {config.regularization!r}")
 
     def lin(P_cols, Z_fields, xinit_cols):
-        zv = jnp.moveaxis(Z_fields, 1, 0)  # (nz, T, B)
-        zb = zv[:, :-1]  # (nz, Tb, B) body stages 0..N-1
-        pb = P_cols[:, :-1]  # (npar, Tb, B)
-        B_ = Z_fields.shape[-1]
+        zv = jnp.moveaxis(Z_fields, 1, 0)  # (nz, T, *b)
+        zb = zv[:, :-1]  # (nz, Tb, *b) body stages 0..N-1
+        pb = P_cols[:, :-1]  # (npar, Tb, *b)
+        bshape = Z_fields.shape[2:]  # trailing batch axes: (B,) in the lane
+        nb = len(bshape)             # pipeline, (SUBS, LANES) in-kernel
         Tb = T - 1
 
         # ---- cost quadratics, body stages --------------------------------
@@ -138,27 +149,27 @@ def make_lane_linearizer(ocp, config, dtype=jnp.float32):
              for i in range(nx)], axis=0)  # (nx, nx, B)
 
         # Terminal stage block: identity on u (matches sqp.py build_qp), H_T on x
-        eye_u = jnp.broadcast_to(
-            jnp.eye(nu, dtype=dtype)[..., None], (nu, nu, B_))
-        zer_ux = jnp.zeros((nu, nx, B_), dtype)
+        eye_u = jnp.broadcast_to(_eye(nu, dtype, nb), (nu, nu) + bshape)
+        zer_ux = jnp.zeros((nu, nx) + bshape, dtype)
         H_last = jnp.concatenate([
             jnp.concatenate([eye_u, zer_ux], axis=1),
             jnp.concatenate([jnp.swapaxes(zer_ux, 0, 1), H_T], axis=1),
         ], axis=0)  # (nz, nz, B)
-        g_last = jnp.concatenate([jnp.zeros((nu, B_), dtype), g_T], axis=0)
+        g_last = jnp.concatenate([jnp.zeros((nu,) + bshape, dtype), g_T],
+                                 axis=0)
 
         H = jnp.concatenate([H_body, H_last[None]], axis=0)  # (T, nz, nz, B)
         g = jnp.concatenate([g_body, g_last[None]], axis=0)  # (T, nz, B)
 
         # ---- regularization (elementwise; fleet default = gershgorin) ----
         if config.regularization == "gershgorin":
-            diag = jnp.stack([H[:, i, i] for i in range(nvar)], axis=1)  # (T,nz,B)
+            diag = jnp.stack([H[:, i, i] for i in range(nvar)], axis=1)  # (T,nz,*b)
             offdiag = jnp.sum(jnp.abs(H), axis=2) - jnp.abs(diag)
             bound = jnp.min(diag - offdiag, axis=1)  # (T, B)
-            shift = jnp.maximum(0.0, config.reg_eps - bound)  # (T, B)
-            H = H + shift[:, None, None] * jnp.eye(nvar, dtype=dtype)[..., None]
+            shift = jnp.maximum(0.0, config.reg_eps - bound)  # (T, *b)
+            H = H + shift[:, None, None] * _eye(nvar, dtype, nb)
         elif config.regularization == "levenberg":
-            H = H + config.levenberg * jnp.eye(nvar, dtype=dtype)[..., None]
+            H = H + config.levenberg * _eye(nvar, dtype, nb)
 
         # ---- dynamics linearization ---------------------------------------
         ub = zb[:nu]
@@ -209,7 +220,7 @@ def make_lane_linearizer(ocp, config, dtype=jnp.float32):
                 [jnp.stack(r, axis=0) for r in generic], axis=0)
             D_b = jnp.moveaxis(D_b, 2, 0)  # (Tb, mh, nz, B)
         else:
-            D_b = jnp.zeros((Tb, 1, nvar, B_), dtype)
+            D_b = jnp.zeros((Tb, 1, nvar) + bshape, dtype)
         D = jnp.concatenate(
             [D_b, jnp.zeros((1,) + D_b.shape[1:], dtype)], axis=0)
         if e_rows:
@@ -217,7 +228,7 @@ def make_lane_linearizer(ocp, config, dtype=jnp.float32):
             e = jnp.concatenate([e_b, jnp.ones((1,) + e_b.shape[1:], dtype)],
                                 axis=0)
         else:
-            e = jnp.ones((T, 0, B_), dtype)
+            e = jnp.ones(((T, 0) + bshape), dtype)
 
         r0 = xinit_cols - zv[nu:, 0]  # (nx, B)
         return LaneQP(H=H, g=g, A=A, B=Bm, c=c, D=D, e=e, r0=r0)

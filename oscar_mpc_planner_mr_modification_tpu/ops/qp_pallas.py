@@ -151,15 +151,8 @@ def _qp_kernel(H_ref, g_ref, A_ref, B_ref, c_ref, D_ref, e_ref, r0_ref,
     lam_ref = rest[1] if duals_out else None
 
     # Bulk loads; trailing dims are the (SUBS, LANES) batch tile.
-    # H ships as its upper triangle only (symmetric: nz(nz+1)/2 entries);
-    # _tri maps (i, q) -> packed index.
+    # H ships as its upper triangle only (symmetric: nz(nz+1)/2 entries).
     ntri = nz * (nz + 1) // 2
-    _tri = {}
-    _t = 0
-    for _i in range(nz):
-        for _q in range(_i, nz):
-            _tri[(_i, _q)] = _tri[(_q, _i)] = _t
-            _t += 1
     Hb = H_ref[...].reshape(T, ntri, SUBS, LANES)
     gb = g_ref[...].reshape(T, nz, SUBS, LANES)
     Ab = A_ref[...].reshape(T - 1, nx, nx, SUBS, LANES)
@@ -169,6 +162,39 @@ def _qp_kernel(H_ref, g_ref, A_ref, B_ref, c_ref, D_ref, e_ref, r0_ref,
     eb = e_ref[...].reshape(T, m, SUBS, LANES)
     r0b = r0_ref[...].reshape(nx, SUBS, LANES)
     lam0b = (lam0_ref[...].reshape(T, m, SUBS, LANES) if warm else None)
+
+    z, lam = _ip_solve(
+        Hb, gb, Ab, Bb, cb, Db, eb, r0b, lam0b, T=T, nz=nz, nx=nx, nu=nu,
+        m=m, row_meta=row_meta, stage_mask=stage_mask, n_iters=n_iters,
+        mu0=mu0, mu_min=mu_min, tau=tau, w_max=w_max, s_floor=s_floor,
+        tol_freeze=tol_freeze, warm=warm)
+    z_ref[...] = z.reshape(T * nz, SUBS, LANES)
+    if duals_out:
+        lam_ref[...] = lam.reshape(T * m, SUBS, LANES)
+
+
+def _tri_map(nz):
+    """(i, q) -> packed upper-triangle index."""
+    _tri = {}
+    t = 0
+    for i in range(nz):
+        for q in range(i, nz):
+            _tri[(i, q)] = _tri[(q, i)] = t
+            t += 1
+    return _tri
+
+
+def _ip_solve(Hb, gb, Ab, Bb, cb, Db, eb, r0b, lam0b=None, *, T, nz, nx, nu,
+              m, row_meta, stage_mask, n_iters, mu0, mu_min, tau, w_max,
+              s_floor, tol_freeze, warm=False):
+    """Mehrotra predictor-corrector IP on in-VMEM tile values.
+
+    Inputs are (stage/field..., SUBS, LANES) arrays as documented in the
+    module header; returns ``(z, lam)`` with z (T, nz, SUBS, LANES) and lam
+    (T, m, SUBS, LANES) (lam is zeros when no row is active). Factored out of
+    the kernel body so the fused whole-SQP kernel (ops/sqp_fused.py) can call
+    the same interior-point iteration on fields it linearized in-kernel."""
+    _tri = _tri_map(nz)
 
     dtype = Hb.dtype
     # Static per-row stage-activity masks, synthesized in-kernel from iota
@@ -322,10 +348,7 @@ def _qp_kernel(H_ref, g_ref, A_ref, B_ref, c_ref, D_ref, e_ref, r0_ref,
         fact0 = factor(Hbar0)
         dz0 = solve_vec(fact0, [gb[:, i] for i in range(nz)], cb,
                         [r0b[i] for i in range(nx)])
-        z_ref[...] = dz0.reshape(T * nz, SUBS, LANES)
-        if duals_out:
-            lam_ref[...] = jnp.zeros((T * m, SUBS, LANES), dtype)
-        return
+        return dz0, jnp.zeros((T, m, SUBS, LANES), dtype)
 
     def ftb_row(r, v, dv):
         """Fraction-to-boundary per row -> (S, L) min over stages."""
@@ -496,30 +519,22 @@ def _qp_kernel(H_ref, g_ref, A_ref, B_ref, c_ref, D_ref, e_ref, r0_ref,
         return z, s, lam
 
     z, s, lam = jax.lax.fori_loop(0, n_iters, body, (z0, s_init, lam_init))
-    z_ref[...] = z.reshape(T * nz, SUBS, LANES)
-    if duals_out:
-        lam_ref[...] = lam.reshape(T * m, SUBS, LANES)
+    return z, lam
 
 
 # ---------------------------------------------------------------------------
 # Wrapper
 # ---------------------------------------------------------------------------
-@functools.lru_cache(maxsize=64)
-def _make_solver(shape_key, mask_bytes, row_meta, nu, n_iters, mu0, mu_min,
-                 tau, w_max, s_floor, tol_freeze, interpret, dtype_str,
-                 warm=False, duals_out=False):
-    Bt, T, nz, nx, m = shape_key
-    dtype = jnp.dtype(dtype_str)
-    stage_mask = np.frombuffer(mask_bytes, dtype=np.float64).reshape(T, m)
+def _compact_row_meta(row_meta, nz, m):
+    """Compact generic-row metadata for sparse D storage.
+
+    Returns ``(row_meta, h_rows, union_cols)``: generic rows are re-mapped to
+    their compacted D storage slots, each carrying its static
+    (union_index, z_column) contraction pairs. A legacy ``("h", slot)`` entry
+    (no support info) makes every column supported (dense fallback)."""
     if row_meta is None:
         row_meta = tuple(("h", r) for r in range(m))
     h_rows = [r for r, meta in enumerate(row_meta) if meta[0] == "h"]
-    mh = len(h_rows)
-    h_idx = np.asarray(h_rows, dtype=np.int64)
-    # Static column support of the generic rows (sparse D): the union of the
-    # per-row supports is the D storage width; rows address their own columns
-    # inside the union. A legacy ("h", slot) entry (no support info) makes
-    # every column supported (dense fallback).
     dense = any(meta[0] == "h" and len(meta) < 3 for meta in row_meta)
     if dense:
         union_cols = tuple(range(nz))
@@ -529,16 +544,30 @@ def _make_solver(shape_key, mask_bytes, row_meta, nu, n_iters, mu0, mu_min,
             if meta[0] == "h":
                 cols.update(meta[2])
         union_cols = tuple(sorted(cols)) if cols else (0,)
-    nU = len(union_cols)
     u_of = {c: u for u, c in enumerate(union_cols)}
-    # Re-map generic rows to their (compacted) D storage slots; each carries
-    # its static (union_index, z_column) contraction pairs
     row_meta = tuple(
         ("h", h_rows.index(r),
          tuple((u_of[c], c) for c in (meta[2] if not dense and len(meta) > 2
                                       else range(nz))))
         if meta[0] == "h" else meta
         for r, meta in enumerate(row_meta))
+    return row_meta, h_rows, union_cols
+
+
+@functools.lru_cache(maxsize=64)
+def _make_solver(shape_key, mask_bytes, row_meta, nu, n_iters, mu0, mu_min,
+                 tau, w_max, s_floor, tol_freeze, interpret, dtype_str,
+                 warm=False, duals_out=False):
+    Bt, T, nz, nx, m = shape_key
+    dtype = jnp.dtype(dtype_str)
+    stage_mask = np.frombuffer(mask_bytes, dtype=np.float64).reshape(T, m)
+    # Static column support of the generic rows (sparse D): the union of the
+    # per-row supports is the D storage width; rows address their own columns
+    # inside the union.
+    row_meta, h_rows, union_cols = _compact_row_meta(row_meta, nz, m)
+    mh = len(h_rows)
+    h_idx = np.asarray(h_rows, dtype=np.int64)
+    nU = len(union_cols)
 
     pad = (-Bt) % TILE_B
     Bp = Bt + pad

@@ -385,6 +385,21 @@ def make_fleet_sqp_solver(ocp, config: SQPConfig = SQPConfig(),
     Returns ``solve(all_params (B, N, npar), xinit (B, nx),
     z_init (B, N+1, nvar)) -> SQPResult`` with leading batch axis.
     """
+    if backend == "fused":
+        # Whole-SQP-in-one-pallas_call: linearization + IP in VMEM for all
+        # n_sqp iterations (ops/sqp_fused.py). Requires an elementwise-
+        # polymorphic OCP; falls back to the per-iteration pallas path.
+        try:
+            from .sqp_fused import make_fused_fleet_solver
+
+            return make_fused_fleet_solver(ocp, config, dtype, interpret)
+        except Exception as exc:
+            import warnings
+
+            warnings.warn(
+                f"fused fleet solver unavailable for this OCP ({exc}); "
+                "falling back to the batch-major pallas path")
+            backend = "pallas"
     if backend == "lanes":
         try:
             return _make_lane_fleet_solver(ocp, config, dtype, interpret)

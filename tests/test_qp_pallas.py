@@ -299,3 +299,37 @@ def test_pallas_duals_reject_zero_rows():
     with pytest.raises(ValueError, match="m == 0"):
         solve_qp_batched_duals(*args, jnp.zeros((T, 0)),
                                jnp.asarray(r0)[None], nu=2, interpret=True)
+
+
+@pytest.mark.slow
+def test_fused_sqp_kernel_matches_xla_backend():
+    """Whole-SQP fused kernel (linearization + IP in one pallas_call,
+    ops/sqp_fused.py) vs the XLA backend in interpret mode, on the BASELINE
+    config-1 OCP, both track_best settings."""
+    N = 3
+    ocp, P, x0, z_init = goal_tracking_setup(N=N, n_obstacles=1)
+    B = 3
+    Pb = np.tile(P[None], (B, 1, 1))
+    for b in range(B):
+        Pb[b, :, ocp.registry.index("goal_y")] = 1.5 - 0.6 * b
+    x0b = np.tile(x0[None], (B, 1))
+    x0b[:, 1] = np.array([0.0, 0.15, -0.2])
+    zb = np.tile(z_init[None], (B, 1, 1))
+    zb[..., ocp.nu:] = x0b[:, None, :]
+    args = (jnp.asarray(Pb), jnp.asarray(x0b), jnp.asarray(zb))
+
+    for track_best in (False, True):
+        cfg = SQPConfig(n_sqp=4, n_qp_iter=12, mu_min=1e-10,
+                        regularization="gershgorin", track_best=track_best)
+        r_xla = make_fleet_sqp_solver(ocp, cfg, dtype=jnp.float64,
+                                      backend="xla")(*args)
+        r_fused = make_fleet_sqp_solver(ocp, cfg, dtype=jnp.float64,
+                                        backend="fused", interpret=True)(*args)
+        assert bool(np.all(np.asarray(r_xla.success))), track_best
+        assert bool(np.all(np.asarray(r_fused.success))), track_best
+        np.testing.assert_allclose(np.asarray(r_fused.z)[:, :-1],
+                                   np.asarray(r_xla.z)[:, :-1], atol=1e-4,
+                                   err_msg=f"track_best={track_best}")
+        np.testing.assert_allclose(np.asarray(r_fused.cost),
+                                   np.asarray(r_xla.cost),
+                                   rtol=1e-5, atol=1e-6)
