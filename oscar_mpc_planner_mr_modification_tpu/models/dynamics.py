@@ -26,6 +26,8 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.math import jnp_atan, jnp_atan2
+
 
 class ModelView:
     """Name-based accessor over a traced ``z = (u, x)`` vector.
@@ -201,7 +203,7 @@ def _ca_spline_update(x, x_integrated, ctx):
     # for curvature > 1e-5 by design.
     R = 1.0 / jnp.maximum(path.get_curvature(s), 1e-5)
 
-    theta = jnp.arctan2(vt_t, R - contour_error - vn_t)
+    theta = jnp_atan2(vt_t, R - contour_error - vn_t)
     # expand_dims (not reshape-to-(1,)) keeps this polymorphic over a trailing
     # batch axis: x may be (nx,) or (nx, B) (lane-layout linearizer).
     return jnp.concatenate([x_integrated, jnp.expand_dims(s + R * theta, 0)])
@@ -274,7 +276,7 @@ class BicycleModel2ndOrder(DynamicsModel):
         lr = _WHEEL_BASE / 2.0
         lf = _WHEEL_BASE / 2.0
         ratio = lr / (lr + lf)
-        beta = jnp.arctan(ratio * jnp.tan(delta))
+        beta = jnp_atan(ratio * jnp.tan(delta))
         return (v * jnp.cos(psi + beta), v * jnp.sin(psi + beta),
                 (v / lr) * jnp.sin(beta), a, w, v)
 
@@ -300,7 +302,7 @@ class BicycleModel2ndOrderCurvatureAware(DynamicsModel):
         a, w = u[0], u[1]
         psi, v, delta = x[2], x[3], x[4]
         ratio = self.lr / (self.lr + self.lr)
-        beta = jnp.arctan(ratio * jnp.tan(delta))
+        beta = jnp_atan(ratio * jnp.tan(delta))
         return (v * jnp.cos(psi + beta), v * jnp.sin(psi + beta),
                 (v / self.lr) * jnp.sin(beta), a, w)
 

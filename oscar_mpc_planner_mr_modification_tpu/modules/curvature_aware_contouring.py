@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from .contouring import ContouringModule
 from ..ops.spline import Spline, Spline2D
-from ..utils.math import haar_difference_without_abs
+from ..utils.math import haar_difference_without_abs, jnp_atan2
 
 
 class CurvatureAwareContouringModule(ContouringModule):
@@ -56,7 +56,7 @@ class CurvatureAwareContouringModule(ContouringModule):
         if stage_idx == settings["N"] - 1:
             terminal_angle_weight = params.get("terminal_angle")
             terminal_contouring_mp = params.get("terminal_contouring")
-            path_angle = jnp.arctan2(path_dy_n, path_dx_n)
+            path_angle = jnp_atan2(path_dy_n, path_dx_n)
             angle_error = haar_difference_without_abs(psi, path_angle)
             cost = cost + terminal_angle_weight * angle_error**2
             cost = cost + terminal_contouring_mp * contour_weight * contour_error_squared

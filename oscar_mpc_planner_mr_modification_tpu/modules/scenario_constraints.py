@@ -25,7 +25,16 @@ class ScenarioConstraintModule(ConstraintModule):
     def __init__(self, settings):
         self.settings = settings
         self.n_discs = settings["n_discs"]
-        self.n_constraints = N_SCENARIO_CONSTRAINTS * self.n_discs
+        # Per-disc row count is N_SCENARIO_CONSTRAINTS; total nh scales
+        # linearly with discs. DELIBERATE DIVERGENCE from the reference
+        # (scripts/scenario_constraints.py:33-36,84-94), whose LinearConstraints
+        # re-loops its already-disc-scaled n_constraints per disc: at
+        # n_discs > 1 its parameter count goes quadratic and the emitted row
+        # count (n_discs * 24*n_discs) mismatches its declared nh (24*n_discs).
+        # The reference only ever ships n_discs = 1 for SH-MPC, where the two
+        # agree; this version is consistent for any disc count.
+        self.n_per_disc = N_SCENARIO_CONSTRAINTS
+        self.n_constraints = self.n_per_disc * self.n_discs
         self.nh = self.n_constraints
         self.use_slack = True
         self._optimizer = None  # wired to parallel.scenario.ScenarioOptimizer
@@ -36,7 +45,7 @@ class ScenarioConstraintModule(ConstraintModule):
     def define_parameters(self, params) -> None:
         for d in range(self.n_discs):
             params.add(f"ego_disc_{d}_offset", bundle_name="ego_disc_offset")
-            for i in range(self.n_constraints):
+            for i in range(self.n_per_disc):
                 params.add(self._constraint_name(i, d) + "_a1")
                 params.add(self._constraint_name(i, d) + "_a2")
                 params.add(self._constraint_name(i, d) + "_b")
@@ -52,7 +61,7 @@ class ScenarioConstraintModule(ConstraintModule):
         slack = model.get("slack") if self.use_slack else 0.0
         for d in range(self.n_discs):
             px, py = ego_disc_position(model, params, d)
-            for i in range(self.n_constraints):
+            for i in range(self.n_per_disc):
                 a1 = params.get(self._constraint_name(i, d) + "_a1")
                 a2 = params.get(self._constraint_name(i, d) + "_a2")
                 b = params.get(self._constraint_name(i, d) + "_b")
@@ -61,6 +70,19 @@ class ScenarioConstraintModule(ConstraintModule):
                 else:
                     constraints.append(a1 * px + a2 * py - b)
         return constraints
+
+    def set_parameters(self, buf, data, module_data) -> None:
+        """Disc offsets + far-away dummy halfspaces; the scenario optimizer
+        overwrites the halfspace rows per parallel solver from its own
+        samples (parallel/scenario.py::_fill_scenario_constraints)."""
+        for d in range(self.n_discs):
+            if len(data.robot_area) > d:
+                buf.set(f"ego_disc_{d}_offset", data.robot_area[d].offset)
+            for i in range(self.n_per_disc):
+                name = self._constraint_name(i, d)
+                buf.set(name + "_a1", 1.0)
+                buf.set(name + "_a2", 0.0)
+                buf.set(name + "_b", 1.0e4)
 
     # -- runtime: custom parallel optimize (scenario_constraints.cpp:58-108)
     def attach_optimizer(self, optimizer) -> None:

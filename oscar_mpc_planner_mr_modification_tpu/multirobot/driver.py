@@ -48,6 +48,11 @@ class MessageBus:
     # Trajectory service handlers: ns -> handler(requesting_ns, pose) ->
     # Optional[TrajectoryMessage]  (GetOtherTrajectories.srv equivalent)
     services: Dict[str, Callable] = field(default_factory=dict)
+    # Startup-synchronization blackboard (the reference's first-pose topics +
+    # sync barrier that WAITING_FOR_OTHER_ROBOTS_FIRST_POSES /
+    # WAITING_FOR_SYNC wait on, data_types.h:180-181)
+    first_poses: Dict[str, np.ndarray] = field(default_factory=dict)
+    sync_ready: set = field(default_factory=set)
 
     def subscribe(self, ns: str, callback: Callable) -> None:
         self.subscribers.setdefault(ns, []).append(callback)
@@ -101,6 +106,8 @@ class RobotAgent:
         self.state.set("y", start_pose[1])
         self.state.set("psi", start_pose[2])
         self.fsm = PlannerState.TIMER_STARTUP
+        self.previous_fsm = PlannerState.UNINITIALIZED
+        self.error_reason = ""
         self.data = RealTimeData()
         self.data.robot_area = define_robot_area(
             settings["robot"]["length"], settings["robot"]["width"],
@@ -136,10 +143,71 @@ class RobotAgent:
         # transition, jules :634-637)
         if (self.fsm == PlannerState.WAITING_FOR_TRAJECTORY_DATA
                 and self._have_all_peer_trajectories()):
-            self.fsm = PlannerState.PLANNING_ACTIVE
+            self.transition_to(PlannerState.PLANNING_ACTIVE)
 
     def _have_all_peer_trajectories(self) -> bool:
         return all(ns in self._validated_peers for ns in self._peer_namespaces)
+
+    # -- FSM transitions (multi_robot_utility_functions.cpp:158-240) --------
+    #: Valid transitions per state; a requested transition outside the table
+    #: drives the FSM into ERROR_STATE (the reference's transitionTo guard).
+    #: ERROR_STATE is reachable from EVERY state; its only exit is RESETTING.
+    #: Divergence from the reference table: INITIALIZING_OBSTACLES may also
+    #: go to WAITING_FOR_OTHER_ROBOTS_FIRST_POSES (the reference's own sync
+    #: entry is commented out, jules_ros1_jackalplanner.cpp:433 — here the
+    #: chain is live behind settings JULES.synchronized_start) and to
+    #: PLANNING_ACTIVE directly for a robot with no peers.
+    _VALID_TRANSITIONS = {
+        PlannerState.UNINITIALIZED: {PlannerState.TIMER_STARTUP},
+        PlannerState.TIMER_STARTUP: {PlannerState.WAITING_FOR_FIRST_EGO_POSE},
+        PlannerState.WAITING_FOR_FIRST_EGO_POSE: {
+            PlannerState.INITIALIZING_OBSTACLES},
+        PlannerState.INITIALIZING_OBSTACLES: {
+            PlannerState.WAITING_FOR_OTHER_ROBOTS_FIRST_POSES,
+            PlannerState.WAITING_FOR_TRAJECTORY_DATA,
+            PlannerState.PLANNING_ACTIVE},
+        PlannerState.WAITING_FOR_OTHER_ROBOTS_FIRST_POSES: {
+            PlannerState.WAITING_FOR_SYNC},
+        PlannerState.WAITING_FOR_SYNC: {
+            PlannerState.WAITING_FOR_TRAJECTORY_DATA},
+        PlannerState.WAITING_FOR_TRAJECTORY_DATA: {
+            PlannerState.PLANNING_ACTIVE, PlannerState.JUST_REACHED_GOAL,
+            PlannerState.GOAL_REACHED},
+        PlannerState.PLANNING_ACTIVE: {
+            PlannerState.JUST_REACHED_GOAL, PlannerState.GOAL_REACHED},
+        PlannerState.JUST_REACHED_GOAL: {PlannerState.GOAL_REACHED},
+        PlannerState.GOAL_REACHED: {PlannerState.RESETTING},
+        PlannerState.RESETTING: {PlannerState.TIMER_STARTUP},
+        PlannerState.ERROR_STATE: {PlannerState.RESETTING},
+    }
+
+    def transition_to(self, new_state: PlannerState) -> bool:
+        """Guarded FSM transition. Returns True when taken; an invalid
+        request lands in ERROR_STATE instead (transitionTo semantics,
+        multi_robot_utility_functions.cpp:158-172)."""
+        if new_state == PlannerState.ERROR_STATE:
+            self.previous_fsm = self.fsm
+            self.fsm = PlannerState.ERROR_STATE
+            return True
+        if new_state not in self._VALID_TRANSITIONS.get(self.fsm, set()):
+            self.previous_fsm = self.fsm
+            self.fsm = PlannerState.ERROR_STATE
+            return False
+        self.previous_fsm = self.fsm
+        self.fsm = new_state
+        return True
+
+    def enter_error_state(self, reason: str = "") -> None:
+        """ERROR_STATE entry (e.g. jules_..._working_one.cpp:1502: missing
+        reference path). Planning stops; recovery is via :meth:`recover`."""
+        self.error_reason = reason
+        self.transition_to(PlannerState.ERROR_STATE)
+        self.last_command = (0.0, 0.0)
+
+    def recover(self) -> None:
+        """ERROR_STATE -> RESETTING (the only valid exit; the reset path then
+        returns to TIMER_STARTUP on the next tick)."""
+        self.transition_to(PlannerState.RESETTING)
 
     # -- trajectory service (GetOtherTrajectories.srv equivalent) ----------
     def _trajectory_service(self, requesting_ns: str,
@@ -224,10 +292,13 @@ class RobotAgent:
         communicated = False
 
         if fsm == PlannerState.TIMER_STARTUP:
-            self.fsm = PlannerState.WAITING_FOR_FIRST_EGO_POSE
+            self.transition_to(PlannerState.WAITING_FOR_FIRST_EGO_POSE)
         elif fsm == PlannerState.WAITING_FOR_FIRST_EGO_POSE:
             if self.state.valid_data() or self._pose_received:
-                self.fsm = PlannerState.INITIALIZING_OBSTACLES
+                # Announce our first pose (the reference's first-pose topics
+                # that WAITING_FOR_OTHER_ROBOTS_FIRST_POSES waits on)
+                self.bus.first_poses[self.ns] = self.state.get_position()
+                self.transition_to(PlannerState.INITIALIZING_OBSTACLES)
         elif fsm == PlannerState.INITIALIZING_OBSTACLES:
             # Pull peers' current plans through the trajectory service first
             # (late-joiner path, GetOtherTrajectories.srv) — peers that have
@@ -235,32 +306,57 @@ class RobotAgent:
             if self._peer_namespaces:
                 self.request_peer_trajectories()
             self.prepare_obstacle_data(external_obstacles)
-            self.fsm = (PlannerState.PLANNING_ACTIVE
-                        if (not self._peer_namespaces
-                            or self._have_all_peer_trajectories())
-                        else PlannerState.WAITING_FOR_TRAJECTORY_DATA)
+            if (self._peer_namespaces
+                    and self.settings["JULES"].get("synchronized_start")):
+                # Synchronized startup chain (enum states 4/5): wait for every
+                # peer's first pose, then rendezvous at the sync barrier
+                self.transition_to(
+                    PlannerState.WAITING_FOR_OTHER_ROBOTS_FIRST_POSES)
+            elif (not self._peer_namespaces
+                    or self._have_all_peer_trajectories()):
+                self.transition_to(PlannerState.PLANNING_ACTIVE)
+            else:
+                self.transition_to(PlannerState.WAITING_FOR_TRAJECTORY_DATA)
+        elif fsm == PlannerState.WAITING_FOR_OTHER_ROBOTS_FIRST_POSES:
+            if all(ns in self.bus.first_poses for ns in self._peer_namespaces):
+                self.bus.sync_ready.add(self.ns)
+                self.transition_to(PlannerState.WAITING_FOR_SYNC)
+        elif fsm == PlannerState.WAITING_FOR_SYNC:
+            ready = self.bus.sync_ready
+            if all(ns in ready for ns in self._peer_namespaces):
+                self.transition_to(PlannerState.WAITING_FOR_TRAJECTORY_DATA)
         elif fsm == PlannerState.WAITING_FOR_TRAJECTORY_DATA:
             # Plan conservatively while waiting; peers are dummies until valid
-            output, communicated = self._plan_cycle(external_obstacles)
-            if self._have_all_peer_trajectories():
-                self.fsm = PlannerState.PLANNING_ACTIVE
+            output, communicated = self._guarded_plan_cycle(external_obstacles)
+            if (self.fsm != PlannerState.ERROR_STATE
+                    and self._have_all_peer_trajectories()):
+                self.transition_to(PlannerState.PLANNING_ACTIVE)
         elif fsm == PlannerState.PLANNING_ACTIVE:
-            output, communicated = self._plan_cycle(external_obstacles)
-            if self.planner.is_objective_reached(self.state, self.data):
-                self.fsm = PlannerState.JUST_REACHED_GOAL
+            output, communicated = self._guarded_plan_cycle(external_obstacles)
+            if (self.fsm != PlannerState.ERROR_STATE
+                    and self.planner.is_objective_reached(self.state,
+                                                          self.data)):
+                self.transition_to(PlannerState.JUST_REACHED_GOAL)
         elif fsm == PlannerState.JUST_REACHED_GOAL:
             self.last_command = (
                 -abs(self.settings["deceleration_at_infeasible"]), 0.0)
             if abs(self.state.get("v")) < 0.05:
-                self.fsm = PlannerState.GOAL_REACHED
+                self.transition_to(PlannerState.GOAL_REACHED)
         elif fsm == PlannerState.GOAL_REACHED:
+            self.last_command = (0.0, 0.0)
+        elif fsm == PlannerState.ERROR_STATE:
+            # Unrecoverable error: stop planning, hold zero command
+            # (jules :386-390). Exit only through recover() -> RESETTING.
             self.last_command = (0.0, 0.0)
         elif fsm == PlannerState.RESETTING:
             self.planner.reset(self.state, self.data)
             self.comm = CommunicationState()
             self._peer_trajectories.clear()
             self._validated_peers.clear()
-            self.fsm = PlannerState.TIMER_STARTUP
+            self.bus.sync_ready.discard(self.ns)
+            self.bus.first_poses.pop(self.ns, None)
+            self.error_reason = ""
+            self.transition_to(PlannerState.TIMER_STARTUP)
 
         m = MPCMetrics(
             stamp=t_start, robot_ns=self.ns, planner_state=self.fsm.name,
@@ -281,6 +377,17 @@ class RobotAgent:
             m.topology_changed = output.topology_changed
         self.metrics.add(m)
         return m
+
+    def _guarded_plan_cycle(self, external_obstacles):
+        """_plan_cycle with the ERROR_STATE guard: an exception escaping the
+        planner is unrecoverable-by-planning (the reference's error entry,
+        e.g. jules_..._working_one.cpp:1502) — stop with a zero command and
+        land in ERROR_STATE; a later recover() re-enters via RESETTING."""
+        try:
+            return self._plan_cycle(external_obstacles)
+        except Exception as exc:  # noqa: BLE001 — any planner failure
+            self.enter_error_state(f"{type(exc).__name__}: {exc}")
+            return None, False
 
     def _plan_cycle(self, external_obstacles):
         """prepare -> solve -> command -> communicate (jules :800-1330)."""

@@ -73,10 +73,12 @@ def _onehot_tangent(n: int, i: int, like, dtype):
 
 def _eye(n: int, dtype, extra_dims: int):
     """Identity (n, n) with ``extra_dims`` trailing singleton axes, iota-
-    synthesized (Pallas-safe, see _onehot_tangent)."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    return ((r == c).astype(dtype)).reshape((n, n) + (1,) * extra_dims)
+    synthesized at full rank (Pallas-safe: no captured constant, and no
+    minor-dim-appending reshape, which Mosaic rejects as a shape cast)."""
+    shape = (n, n) + (1,) * extra_dims
+    r = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return (r == c).astype(dtype)
 
 
 def make_lane_linearizer(ocp, config, dtype=jnp.float32):
@@ -131,8 +133,11 @@ def make_lane_linearizer(ocp, config, dtype=jnp.float32):
         g_body = jnp.moveaxis(g_body, 1, 0)  # (Tb, nz, B)
 
         # ---- terminal cost on x -------------------------------------------
-        xT = zv[nu:, -1]  # (nx, B)
-        pT = P_cols[:, -1]  # (npar, B)
+        # lax.index_in_dim = static slice + squeeze; jnp's int indexing would
+        # emit dynamic_slice, which Pallas TPU cannot lower (ops/sqp_fused.py
+        # traces this function in-kernel)
+        xT = jax.lax.index_in_dim(zv, T - 1, axis=1, keepdims=False)[nu:]
+        pT = jax.lax.index_in_dim(P_cols, T - 1, axis=1, keepdims=False)
 
         def cost_T(x):
             return ocp.cost_terminal(x, pT)
@@ -256,8 +261,11 @@ def make_lane_merit(ocp, config, dtype=jnp.float32):
             jnp.max(jnp.abs(f - zv[nu:, 1:]), axis=(0, 1)),
             jnp.max(jnp.abs(xinit_cols - zv[nu:, 0]), axis=0))  # (B,)
         stage_costs = ocp.cost_stage(zb, pb)  # (Tb, B)
-        cost = jnp.sum(stage_costs, axis=0) + ocp.cost_terminal(
-            zv[nu:, -1], P_cols[:, -1])  # (B,)
+        xT = jax.lax.index_in_dim(zv, zv.shape[1] - 1, axis=1,
+                                  keepdims=False)[nu:]  # static slice
+        pT = jax.lax.index_in_dim(P_cols, P_cols.shape[1] - 1, axis=1,
+                                  keepdims=False)
+        cost = jnp.sum(stage_costs, axis=0) + ocp.cost_terminal(xT, pT)  # (B,)
         finite = jnp.isfinite(cost) & jnp.all(
             jnp.isfinite(Z_fields), axis=(0, 1))
         merit_v = jnp.where(

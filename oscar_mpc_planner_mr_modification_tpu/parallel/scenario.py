@@ -142,6 +142,59 @@ def select_support_halfspaces(pos, centers, margins, n_rows):
     return a_all[sel], b_all[sel], sel, n_uncovered
 
 
+def select_support_halfspaces_batch(pos, centers, margins, n_rows):
+    """Vectorized :func:`select_support_halfspaces` over arbitrary batch axes.
+
+    pos: (..., 2) linearization points; centers: (..., M, 2) scenario disc
+    centers (broadcastable against pos's batch axes); margins: (M,) or
+    (..., M). Returns ``(a (..., n_rows, 2), b (..., n_rows),
+    valid (..., n_rows) bool, n_uncovered (...))``; unfilled rows carry the
+    far-away dummy (a = (1, 0), b = 1e4). Equivalent to the scalar greedy
+    selection cell-by-cell (per round, each cell selects its nearest
+    non-dominated disc and prunes everything in the new excluded halfplane);
+    the loop is over the <= n_rows selection rounds, every other axis is
+    numpy-vectorized — this is what lets the SH-MPC host fill cover
+    (solvers x stages x discs) without a Python cell loop."""
+    pos = np.asarray(pos, dtype=float)
+    centers = np.asarray(centers, dtype=float)
+    batch = np.broadcast_shapes(pos.shape[:-1], centers.shape[:-2])
+    M = centers.shape[-2]
+    a_sel = np.zeros(batch + (n_rows, 2))
+    a_sel[..., 0] = 1.0
+    b_sel = np.full(batch + (n_rows,), 1.0e4)
+    valid = np.zeros(batch + (n_rows,), dtype=bool)
+    if M == 0:
+        return a_sel, b_sel, valid, np.zeros(batch, dtype=int)
+    centers = np.broadcast_to(centers, batch + (M, 2))
+    margins = np.broadcast_to(np.asarray(margins, dtype=float), batch + (M,))
+    diff = centers - pos[..., None, :]
+    dist = np.linalg.norm(diff, axis=-1)
+    deg = dist < 1e-9
+    diff = np.where(deg[..., None], np.array([1.0, 0.0]), diff)
+    dist = np.maximum(dist, 1e-9)
+    a_all = diff / dist[..., None]
+    b_all = np.sum(a_all * centers, axis=-1) - margins
+    key = dist - margins
+
+    covered = np.zeros(batch + (M,), dtype=bool)
+    for r in range(n_rows):
+        left = ~np.all(covered, axis=-1)  # cells with non-dominated discs
+        if not left.any():
+            break
+        masked = np.where(covered, np.inf, key)
+        j = np.argmin(masked, axis=-1)
+        aj = np.take_along_axis(a_all, j[..., None, None], axis=-2)[..., 0, :]
+        bj = np.take_along_axis(b_all, j[..., None], axis=-1)[..., 0]
+        a_sel[..., r, :] = np.where(left[..., None], aj, a_sel[..., r, :])
+        b_sel[..., r] = np.where(left, bj, b_sel[..., r])
+        valid[..., r] = left
+        dom = (np.einsum("...mk,...k->...m", centers, aj) - margins
+               >= bj[..., None] - 1e-12)
+        covered |= dom & left[..., None]
+    n_uncovered = np.count_nonzero(~covered, axis=-1)
+    return a_sel, b_sel, valid, n_uncovered
+
+
 class ScenarioOptimizer:
     def __init__(self, solver, settings, seed: int = 0):
         self.solver = solver
@@ -176,15 +229,25 @@ class ScenarioOptimizer:
             raw = make_sqp_solver(solver.ocp, solver.config, dtype=solver.dtype)
             self._batched_solve = jax.jit(jax.vmap(raw, in_axes=(0, None, 0)))
         reg = solver.ocp.registry
-        self._a1_idx = np.array([
-            reg.index(f"disc_0_scenario_constraint_{i}_a1")
-            for i in range(N_SCENARIO_CONSTRAINTS)])
-        self._a2_idx = np.array([
-            reg.index(f"disc_0_scenario_constraint_{i}_a2")
-            for i in range(N_SCENARIO_CONSTRAINTS)])
-        self._b_idx = np.array([
-            reg.index(f"disc_0_scenario_constraint_{i}_b")
-            for i in range(N_SCENARIO_CONSTRAINTS)])
+        # (n_discs, 24) parameter columns: every disc gets its own polytope
+        self.n_discs = int(settings["n_discs"])
+        self._a1_idx = np.array([[
+            reg.index(f"disc_{d}_scenario_constraint_{i}_a1")
+            for i in range(N_SCENARIO_CONSTRAINTS)]
+            for d in range(self.n_discs)])
+        self._a2_idx = np.array([[
+            reg.index(f"disc_{d}_scenario_constraint_{i}_a2")
+            for i in range(N_SCENARIO_CONSTRAINTS)]
+            for d in range(self.n_discs)])
+        self._b_idx = np.array([[
+            reg.index(f"disc_{d}_scenario_constraint_{i}_b")
+            for i in range(N_SCENARIO_CONSTRAINTS)]
+            for d in range(self.n_discs)])
+        self._off_idx = np.array([
+            reg.index(f"ego_disc_{d}_offset") for d in range(self.n_discs)])
+        model = solver.ocp.model
+        self._ipsi = (model.var_index("psi")
+                      if "psi" in model.states else None)
         # samples: (n_solvers, n_samples, n_obs, N, 2)
         self._samples = None
         self._sample_radii = None
@@ -273,47 +336,59 @@ class ScenarioOptimizer:
         self._samples = None  # consume samples (resampled on new data)
         return int(exit_codes[best])
 
-    # ------------------------------------------------------------------
+    def _disc_positions(self, traj, ix, iy):
+        """(..., n_discs, 2) collision-disc centers along a trajectory
+        (..., nvar): pose + offset_d * (cos psi, sin psi), mirroring
+        modules.base.ego_disc_position."""
+        base = traj[..., [ix, iy]]  # (..., 2)
+        if self._ipsi is not None:
+            psi = traj[..., self._ipsi]
+        else:
+            psi = np.zeros(traj.shape[:-1])
+        heading = np.stack([np.cos(psi), np.sin(psi)], axis=-1)  # (..., 2)
+        offs = self.solver.params.data[0, self._off_idx]  # (D,)
+        return (base[..., None, :]
+                + offs[..., :, None] * heading[..., None, :])
+
     def _fill_scenario_constraints(self, params, warmstarts, ix, iy) -> int:
-        """Fill the 24 halfspace rows per stage for every solver from its own
-        scenario samples (support selection + pruning). Vectorized over the
-        candidate-disc axis; returns the max under-coverage over all
-        (solver, stage) pairs."""
+        """Fill the 24 halfspace rows per (stage, disc) for every solver from
+        its own scenario samples (support selection + domination pruning),
+        fully vectorized over (solvers x stages x discs) via
+        :func:`select_support_halfspaces_batch`; returns the max
+        under-coverage over all cells."""
         n_rows = N_SCENARIO_CONSTRAINTS
         P, N = params.shape[0], self.solver.N
         samples = self._samples  # (P, S, n_obs, N, 2)
         S, n_obs = samples.shape[1], samples.shape[2]
         # C-order flatten of (S, n_obs) is sample-major: radii tile per sample
         margins = np.tile(self._sample_radii, S) + self.robot_radius  # (S*n_obs,)
+
+        # Per-stage sample step (prediction step k-1 serves stage k)
+        steps = np.minimum(np.arange(N - 1), samples.shape[3] - 1)
+        pts = samples[:, :, :, steps]  # (P, S, n_obs, N-1, 2)
+        pts = np.moveaxis(pts, 3, 1).reshape(P, N - 1, S * n_obs, 2)
+
+        pos = self._disc_positions(warmstarts[:, 1:N], ix, iy)  # (P,N-1,D,2)
+        a, b, _, n_unc = select_support_halfspaces_batch(
+            pos, pts[:, :, None], margins, n_rows)  # batch (P, N-1, D)
+
+        # Stage 0 (and any unfilled row) keeps the far-away dummy
         params[:, :, self._a1_idx] = 1.0
         params[:, :, self._a2_idx] = 0.0
         params[:, :, self._b_idx] = 1.0e4
-        max_uncovered = 0
-        for p in range(P):
-            for k in range(1, N):
-                pos = warmstarts[p, k, [ix, iy]]
-                step = min(k - 1, samples.shape[3] - 1)
-                pts = samples[p, :, :, step].reshape(S * n_obs, 2)
-                a, b, _, n_unc = select_support_halfspaces(
-                    pos, pts, margins, n_rows)
-                max_uncovered = max(max_uncovered, n_unc)
-                n_sel = len(b)
-                params[p, k, self._a1_idx[:n_sel]] = a[:, 0]
-                params[p, k, self._a2_idx[:n_sel]] = a[:, 1]
-                params[p, k, self._b_idx[:n_sel]] = b
-        return max_uncovered
+        params[:, 1:N, self._a1_idx] = a[..., 0]
+        params[:, 1:N, self._a2_idx] = a[..., 1]
+        params[:, 1:N, self._b_idx] = b
+        return int(np.max(n_unc)) if n_unc.size else 0
 
     def _count_support(self, params_p, Z, ix, iy, tol: float = 1e-4) -> int:
         """Number of scenario constraint rows active at the solution - the
         observed support-scenario count s* for the posterior certificate."""
         N = self.solver.N
-        active = 0
-        for k in range(1, N):
-            pos = Z[k, [ix, iy]]
-            a1 = params_p[k, self._a1_idx]
-            a2 = params_p[k, self._a2_idx]
-            b = params_p[k, self._b_idx]
-            real = b < 0.9e4
-            g = a1 * pos[0] + a2 * pos[1] - b
-            active += int(np.count_nonzero(real & (np.abs(g) < tol)))
-        return active
+        pos = self._disc_positions(Z[1:N], ix, iy)  # (N-1, D, 2)
+        a1 = params_p[1:N][:, self._a1_idx]  # (N-1, D, n_rows)
+        a2 = params_p[1:N][:, self._a2_idx]
+        b = params_p[1:N][:, self._b_idx]
+        real = b < 0.9e4
+        g = (a1 * pos[..., 0][..., None] + a2 * pos[..., 1][..., None] - b)
+        return int(np.count_nonzero(real & (np.abs(g) < tol)))

@@ -118,6 +118,11 @@ def default_settings(**overrides) -> Config:
                 "communicate_on_topology_switch_only": True,
                 "n_paths": 4,
                 "enable_trajectory_interpolation": True,
+                # Synchronized startup barrier (FSM states 4/5). The
+                # reference declares the chain (data_types.h:180-181) but its
+                # entry is commented out (jules_ros1_jackalplanner.cpp:433);
+                # here it is live behind this flag.
+                "synchronized_start": False,
                 "robot_max_velocity": 2.5,
                 "robot_max_angular_velocity": 2.5,
                 "max_geometric_deviation": 5.0,

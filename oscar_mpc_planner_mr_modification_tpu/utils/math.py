@@ -31,6 +31,40 @@ def haar_difference_without_abs(angle1, angle2):
     return jnp.fmod(angle1 - angle2 + jnp.pi, 2.0 * jnp.pi) - jnp.pi
 
 
+def jnp_atan(x):
+    """arctan from primitives the Pallas TPU backend can lower.
+
+    Mosaic has no atan/asin/acos lowering (only tan among inverse-trig
+    relatives), so module/model math that must trace inside the fused SQP
+    kernel (ops/sqp_fused.py) uses this instead of ``jnp.arctan``: a rational
+    seed (max error ~4e-3 rad) polished by 3 Newton iterations on
+    ``tan(a) = x`` (quadratic: 4e-3 -> 1e-5 -> 1e-10 -> round-off), with
+    ``|x| > 1`` range-reduced via ``atan(x) = sign(x)*pi/2 - atan(1/x)``.
+    Same pattern as :func:`erfinv_newton` (the reference's own workaround for
+    CasADi's missing erfinv)."""
+    ax = jnp.abs(x)
+    inv = ax > 1.0
+    safe = jnp.where(inv, x, 1.0)
+    xr = jnp.where(inv, 1.0 / safe, x)  # |xr| <= 1
+    a = xr * (jnp.pi / 4 + 0.273 * (1.0 - jnp.abs(xr)))
+    for _ in range(3):
+        t = jnp.tan(a)
+        a = a - (t - xr) / (1.0 + t * t)
+    return jnp.where(inv, jnp.sign(x) * (jnp.pi / 2) - a, a)
+
+
+def jnp_atan2(y, x):
+    """Four-quadrant arctan built on :func:`jnp_atan` (Pallas-safe
+    ``jnp.arctan2`` replacement; matches numpy conventions including the
+    axes: atan2(0, -1) = pi, atan2(+-y, 0) = +-pi/2)."""
+    x_safe = jnp.where(x == 0.0, 1.0, x)
+    base = jnp_atan(y / x_safe)
+    on_axis = jnp.where(y > 0.0, jnp.pi / 2,
+                        jnp.where(y < 0.0, -jnp.pi / 2, 0.0))
+    neg_x = base + jnp.where(y >= 0.0, jnp.pi, -jnp.pi)
+    return jnp.where(x > 0.0, base, jnp.where(x < 0.0, neg_x, on_axis))
+
+
 def erfinv_newton(x):
     """Inverse error function: rational initial guess + two Newton polish steps.
 

@@ -383,3 +383,98 @@ def test_trajectory_request_service_late_joiner():
     assert len(replies) == 1 and replies[0].robot_ns == "r1"
     assert replies[0].is_braking
     assert np.all(np.isfinite(replies[0].positions))
+
+
+def test_fsm_synchronized_start_and_late_joiner():
+    """The synchronized-startup chain (FSM states 4/5, data_types.h:180-181):
+    with JULES.synchronized_start, a robot waits in
+    WAITING_FOR_OTHER_ROBOTS_FIRST_POSES until every peer announced a pose,
+    rendezvous in WAITING_FOR_SYNC, and only then proceeds. A late-joining
+    peer forces the early robot through the full wait chain."""
+    clock = FakeClock()
+    bus = MessageBus()
+    a1 = make_agent("r1", 0, bus, clock, (2.0, 0.0, 0.0), (8.0, 0.0))
+    a2 = make_agent("r2", 1, bus, clock, (8.0, 1.2, np.pi), (2.0, 1.2))
+    for a in (a1, a2):
+        a.settings["JULES"]["synchronized_start"] = True
+    a1.set_peers(["r1", "r2"])
+    a2.set_peers(["r1", "r2"])
+
+    # r1 starts alone: TIMER -> POSE -> INIT -> WAITING_FOR_OTHER_ROBOTS_...
+    seen = []
+    for _ in range(5):
+        a1.tick()
+        seen.append(a1.fsm)
+        clock.t += 0.2
+    assert PlannerState.WAITING_FOR_OTHER_ROBOTS_FIRST_POSES in seen
+    assert a1.fsm == PlannerState.WAITING_FOR_OTHER_ROBOTS_FIRST_POSES
+
+    # r2 joins late: announces its pose, both pass the sync barrier
+    for _ in range(6):
+        a2.tick()
+        a1.tick()
+        clock.t += 0.2
+    assert a1.fsm in (PlannerState.WAITING_FOR_TRAJECTORY_DATA,
+                      PlannerState.PLANNING_ACTIVE), a1.fsm
+    assert a2.fsm in (PlannerState.WAITING_FOR_SYNC,
+                      PlannerState.WAITING_FOR_TRAJECTORY_DATA,
+                      PlannerState.PLANNING_ACTIVE), a2.fsm
+    # Both eventually plan
+    for _ in range(4):
+        a1.tick(); a2.tick()
+        clock.t += 0.2
+    assert a1.fsm == PlannerState.PLANNING_ACTIVE
+    assert a2.fsm == PlannerState.PLANNING_ACTIVE
+
+
+def test_fsm_error_state_entry_and_recovery():
+    """An exception escaping the planner lands in ERROR_STATE with a zero
+    command (jules_..._working_one.cpp:1502 error entry); the only exit is
+    recover() -> RESETTING -> TIMER_STARTUP (transition-table semantics,
+    multi_robot_utility_functions.cpp:158-240)."""
+    clock = FakeClock()
+    bus = MessageBus()
+    a1 = make_agent("r1", 0, bus, clock, (2.0, 0.0, 0.0), (8.0, 0.0))
+    a1.set_peers(["r1"])
+    for _ in range(4):
+        a1.tick()
+        clock.t += 0.2
+    assert a1.fsm == PlannerState.PLANNING_ACTIVE
+
+    # Inject a planner failure
+    def boom(*a, **k):
+        raise RuntimeError("injected solver crash")
+
+    orig = a1.planner.solve_mpc
+    a1.planner.solve_mpc = boom
+    a1.tick()
+    assert a1.fsm == PlannerState.ERROR_STATE
+    assert "injected solver crash" in a1.error_reason
+    assert a1.last_command == (0.0, 0.0)
+    # ERROR_STATE holds (planning stopped) until recovery
+    a1.tick()
+    assert a1.fsm == PlannerState.ERROR_STATE
+    # Invalid transitions from ERROR_STATE are rejected (stay in ERROR_STATE)
+    assert not a1.transition_to(PlannerState.PLANNING_ACTIVE)
+    assert a1.fsm == PlannerState.ERROR_STATE
+
+    a1.planner.solve_mpc = orig
+    a1.recover()
+    assert a1.fsm == PlannerState.RESETTING
+    for _ in range(6):
+        a1.tick()
+        clock.t += 0.2
+    assert a1.fsm == PlannerState.PLANNING_ACTIVE, a1.fsm
+
+
+def test_fsm_invalid_transition_guard():
+    """transitionTo guard: a transition outside the validity table drives the
+    FSM into ERROR_STATE instead of being taken."""
+    clock = FakeClock()
+    bus = MessageBus()
+    a1 = make_agent("r1", 0, bus, clock, (0.0, 0.0, 0.0), (5.0, 0.0))
+    assert a1.fsm == PlannerState.TIMER_STARTUP
+    ok = a1.transition_to(PlannerState.GOAL_REACHED)  # not a valid edge
+    assert not ok
+    assert a1.fsm == PlannerState.ERROR_STATE
+    assert a1.previous_fsm == PlannerState.TIMER_STARTUP

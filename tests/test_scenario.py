@@ -34,7 +34,8 @@ def make_sh_planner(N=15):
 
 def make_sh_data(settings, state, N, dt):
     data = RealTimeData()
-    data.robot_area = define_robot_area(0.65, 0.65, 1)
+    n_discs = settings["n_discs"]
+    data.robot_area = define_robot_area(0.65 * n_discs, 0.65, n_discs)
     path_x = np.linspace(0.0, 20.0, 25)
     data.reference_path.x = list(path_x)
     data.reference_path.y = [0.0] * 25
@@ -360,3 +361,75 @@ def test_scenario_empirical_risk_within_certificate():
     mc_noise = 3.0 * np.sqrt(eps * (1 - eps) / M)
     assert rate <= eps + mc_noise, (
         f"empirical violation {rate:.3f} > eps {eps} + {mc_noise:.3f}")
+
+
+def test_support_selection_batch_matches_scalar():
+    """select_support_halfspaces_batch is the vectorized twin of the scalar
+    greedy selection (same halfspaces, same under-coverage counts)."""
+    from oscar_mpc_planner_mr_modification_tpu.parallel.scenario import (
+        select_support_halfspaces, select_support_halfspaces_batch)
+
+    rng = np.random.default_rng(0)
+    pos = rng.normal(size=(6, 2))
+    centers = rng.normal(scale=3.0, size=(6, 40, 2))
+    margins = rng.uniform(0.1, 0.6, size=40)
+    a, b, valid, n_unc = select_support_halfspaces_batch(
+        pos, centers, margins, 8)
+    assert a.shape == (6, 8, 2) and b.shape == (6, 8)
+    for c in range(6):
+        a_s, b_s, _, n_unc_s = select_support_halfspaces(
+            pos[c], centers[c], margins, 8)
+        n = len(b_s)
+        assert valid[c, :n].all() and not valid[c, n:].any()
+        np.testing.assert_allclose(a[c, :n], a_s, atol=1e-12)
+        np.testing.assert_allclose(b[c, :n], b_s, atol=1e-12)
+        assert (b[c, n:] == 1.0e4).all()
+        assert int(n_unc[c]) == n_unc_s
+
+
+def test_scenario_two_disc_end_to_end():
+    """n_discs=2 SH-MPC: per-disc polytopes with LINEAR parameter scaling.
+
+    The reference's own LinearConstraints re-loops its disc-scaled row count
+    per disc (scripts/scenario_constraints.py:33-47: quadratic parameters,
+    bound count mismatching emitted rows at n_discs > 1) — it only ever ships
+    n_discs = 1. This build fixes the accounting; both discs' halfspace rows
+    are filled and the solve succeeds."""
+    from oscar_mpc_planner_mr_modification_tpu.modules import (
+        ScenarioConstraintModule)
+
+    N, dt = 12, 0.2
+    settings = default_settings(
+        N=N, max_obstacles=2, n_discs=2,
+        probabilistic={"enable": True, "risk": 0.1},
+        scenario_constraints={"parallel_solvers": 2, "n_samples": 16})
+    model, modules = configuration_safe_horizon(settings)
+    smod = next(m for m in modules if isinstance(m, ScenarioConstraintModule))
+    assert smod.nh == 48  # 24 per disc
+    assert len(smod.get_upper_bound()) == 48
+
+    planner = build_planner(model, modules, settings, dtype=jnp.float64,
+                            sqp_config=SQPConfig(n_sqp=6, n_qp_iter=12))
+    reg = planner.solver.ocp.registry
+    assert reg.has_parameter("disc_1_scenario_constraint_23_b")
+    # Per-disc count is 24, not 24*n_discs (the reference's quadratic blowup)
+    assert not reg.has_parameter("disc_0_scenario_constraint_24_a1")
+
+    state = State(model)
+    state.set("v", 0.8)
+    data = make_sh_data(settings, state, N, dt)
+    planner.on_data_received(data, "reference_path")
+    planner.on_data_received(data, "dynamic obstacles")
+    out = planner.solve_mpc(state, data)
+    assert out.success, planner.solver.explain_exit_flag()
+
+    # Both discs received real (non-dummy) halfspaces at interior stages
+    opt = smod._optimizer
+    assert opt.best_solver_index >= 0
+    pdata = planner.solver.params.data
+    for d in range(2):
+        filled = pdata[1:N, opt._b_idx[d]] < 0.9e4
+        assert filled.any(), f"disc {d} got no scenario halfspaces"
+    # Disc offsets differ (two-disc robot): constraints are disc-specific
+    offs = pdata[0, opt._off_idx]
+    assert abs(offs[0] - offs[1]) > 1e-6
