@@ -102,9 +102,11 @@ class RobotAgent:
         self.goal = np.asarray(goal, dtype=float)
 
         self.state = State(model)
+        self.start_pose = tuple(start_pose)
         self.state.set("x", start_pose[0])
         self.state.set("y", start_pose[1])
         self.state.set("psi", start_pose[2])
+        self.last_output = None
         self.fsm = PlannerState.TIMER_STARTUP
         self.previous_fsm = PlannerState.UNINITIALIZED
         self.error_reason = ""
@@ -349,15 +351,26 @@ class RobotAgent:
             # (jules :386-390). Exit only through recover() -> RESETTING.
             self.last_command = (0.0, 0.0)
         elif fsm == PlannerState.RESETTING:
-            self.planner.reset(self.state, self.data)
+            # Reset the PLANNER, not the robot: in this driver the State
+            # object doubles as the simulated ground-truth pose (the
+            # reference's reset zeroes only the estimator state and the sim
+            # re-supplies the pose via the callback; zeroing here would
+            # teleport every robot to the origin). The environment teleport
+            # is reset_to_start(), driven by MultiRobotDriver.
+            self.planner.reset(None, None)
+            self.data.dynamic_obstacles = []
+            self.data.goal = self.goal
+            self.data.goal_received = True
             self.comm = CommunicationState()
             self._peer_trajectories.clear()
             self._validated_peers.clear()
+            self._last_trajectory_msg = None  # don't serve stale plans
             self.bus.sync_ready.discard(self.ns)
             self.bus.first_poses.pop(self.ns, None)
             self.error_reason = ""
             self.transition_to(PlannerState.TIMER_STARTUP)
 
+        self.last_output = output
         m = MPCMetrics(
             stamp=t_start, robot_ns=self.ns, planner_state=self.fsm.name,
             velocity=self.state.get("v"),
@@ -440,16 +453,28 @@ class RobotAgent:
             v = max(v + a * dt, 0.0)
         return np.asarray(pos), np.asarray(ori)
 
+    def reset_to_start(self) -> None:
+        """Environment (teleport) reset: back to the initial pose at rest
+        (the simulator-side half of the episode reset,
+        ros1_jackalsimulator.cpp:368-387)."""
+        self.state.reset()
+        self.state.set("x", self.start_pose[0])
+        self.state.set("y", self.start_pose[1])
+        self.state.set("psi", self.start_pose[2])
+        self.last_command = (0.0, 0.0)
+        self.last_output = None
+        self._last_trajectory_msg = None
+
     def apply_command(self, dt: float) -> None:
-        """Integrate own dynamics with the last command (sim actuation)."""
+        """Integrate own dynamics with the last command held zero-order over
+        ``dt`` (sim actuation)."""
         import jax.numpy as jnp
 
         a, w = self.last_command
         u = np.zeros(self.model.nu)
         u[0], u[1] = a, w
         x_next = self.model.discrete_dynamics(
-            jnp.asarray(self.state.as_array()), jnp.asarray(u),
-            float(self.settings["integrator_step"]))
+            jnp.asarray(self.state.as_array()), jnp.asarray(u), float(dt))
         arr = np.array(x_next)
         iv = self.model.state_index("v")
         arr[iv] = max(arr[iv], 0.0)  # no reverse from braking
@@ -457,14 +482,54 @@ class RobotAgent:
 
 
 class MultiRobotDriver:
-    """Synchronous multi-robot simulation loop (the Gazebo+launch-file role)."""
+    """Multi-robot simulation loop (the Gazebo+launch-file role).
 
-    def __init__(self, agents: List[RobotAgent], clock=None):
+    ``run`` ticks all robots in lockstep (round 1/2 behavior); the reference's
+    robots run on INDEPENDENT ROS timers, so ``run_desynchronized`` steps a
+    fine simulation clock and fires each robot's tick on its own jittered
+    period — peers' trajectory data is then genuinely stale between ticks,
+    which is the regime the stale-trajectory interpolation and the five
+    communication triggers were designed for (jules :836-1065, :1400-1482).
+    ``run_experiments`` adds the reference's episode layer: record every
+    iteration into an :class:`..utils.datasaver.ExperimentUtil`, reset the
+    environment when all robots reach their objectives, and segment metrics
+    per episode (ros1_jackalsimulator.cpp:368-387,
+    experiment_util.cpp:125-157)."""
+
+    def __init__(self, agents: List[RobotAgent], clock=None,
+                 experiment_util=None):
         self.agents = agents
         namespaces = [a.ns for a in agents]
         for a in agents:
             a.set_peers(namespaces)
         self._clock = clock
+        self.experiment = experiment_util
+        self.episode_collisions = 0
+        self._in_collision = False
+
+    # -- collision monitoring (the sim env's collision check role) ---------
+    def _check_collisions(self) -> None:
+        agents = self.agents
+        min_d, limit = np.inf, 0.0
+        for i in range(len(agents)):
+            for j in range(i + 1, len(agents)):
+                d = float(np.linalg.norm(agents[i].state.get_position()
+                                         - agents[j].state.get_position()))
+                lim = (agents[i].settings["robot_radius"]
+                       + agents[j].settings["robot_radius"])
+                if d - lim < min_d - limit:
+                    min_d, limit = d, lim
+        colliding = min_d < limit
+        if colliding and not self._in_collision:
+            self.episode_collisions += 1  # edge-triggered event count
+        self._in_collision = colliding
+
+    def _record(self, agent, m) -> None:
+        if self.experiment is not None:
+            self.experiment.update(
+                agent.state, agent.data, agent.last_output,
+                runtime_s=m.planning_time_ms / 1e3,
+                now=self._clock.t if self._clock is not None else None)
 
     def run(self, n_cycles: int, obstacle_provider=None) -> MetricsLog:
         log = MetricsLog()
@@ -474,12 +539,97 @@ class MultiRobotDriver:
             for agent in self.agents:
                 m = agent.tick(external_obstacles=external)
                 log.add(m)
+                self._record(agent, m)
             for agent in self.agents:
                 agent.apply_command(dt)
+            self._check_collisions()
             if self._clock is not None:
                 self._clock.t += dt
             if all(a.fsm == PlannerState.GOAL_REACHED for a in self.agents):
                 break
+        return log
+
+    def run_desynchronized(self, n_cycles: int, obstacle_provider=None,
+                           jitter: float = 0.3, sim_substeps: int = 4,
+                           seed: int = 0) -> MetricsLog:
+        """Independent per-robot timers: robot i's ticks fire at its own
+        random phase and a per-tick period jittered by ±``jitter``; the
+        simulation advances in ``period / sim_substeps`` steps with commands
+        held zero-order between ticks. Requires a driver clock (the agents'
+        notion of elapsed time must be the simulated one for staleness to be
+        real)."""
+        assert self._clock is not None, "desynchronized run needs a sim clock"
+        rng = np.random.default_rng(seed)
+        log = MetricsLog()
+        # Tick cadence matches the lockstep loop (one plan per integrator
+        # step); phases/jitter desynchronize the robots within that cadence.
+        period = float(self.agents[0].settings["integrator_step"])
+        sim_dt = period / sim_substeps
+        next_tick = {a.ns: self._clock.t + rng.uniform(0.0, period)
+                     for a in self.agents}
+        t_end = self._clock.t + n_cycles * period
+        cycle = 0
+        while self._clock.t < t_end:
+            external = obstacle_provider(cycle) if obstacle_provider else None
+            for agent in self.agents:
+                if self._clock.t + 1e-9 >= next_tick[agent.ns]:
+                    m = agent.tick(external_obstacles=external)
+                    log.add(m)
+                    self._record(agent, m)
+                    next_tick[agent.ns] += period * (
+                        1.0 + jitter * rng.uniform(-1.0, 1.0))
+            for agent in self.agents:
+                agent.apply_command(sim_dt)
+            self._check_collisions()
+            self._clock.t += sim_dt
+            cycle += 1
+            if all(a.fsm == PlannerState.GOAL_REACHED for a in self.agents):
+                break
+        return log
+
+    def reset_environment(self) -> None:
+        """All-robots-reached-objective reset (the aggregator +
+        environment-reset role, ros1_jackalsimulator.cpp:368-387): robots at
+        their goal take the GOAL_REACHED -> RESETTING edge; any stragglers
+        are teleported by the environment (hard reset outside the planner
+        FSM's own transition table)."""
+        for a in self.agents:
+            if a.fsm == PlannerState.GOAL_REACHED:
+                a.transition_to(PlannerState.RESETTING)
+            else:
+                a.fsm = PlannerState.RESETTING  # env teleport (not a planner
+                a.previous_fsm = PlannerState.UNINITIALIZED  # transition)
+            a.reset_to_start()
+        self.episode_collisions = 0
+        self._in_collision = False
+
+    def run_experiments(self, n_episodes: int, n_cycles: int,
+                        obstacle_provider=None, desynchronized: bool = False,
+                        **kwargs) -> MetricsLog:
+        """Episode-segmented experiment loop. Each episode runs until all
+        robots reach their goals (or the cycle budget expires), is closed in
+        the :class:`ExperimentUtil` with duration/completed/collision
+        metrics, and the environment resets for the next one."""
+        log = MetricsLog()
+        now = (lambda: self._clock.t) if self._clock is not None else None
+        for ep in range(n_episodes):
+            if self.experiment is not None:
+                self.experiment.set_start_experiment(
+                    now() if now else None)
+            ep_log = (self.run_desynchronized(n_cycles, obstacle_provider,
+                                              **kwargs)
+                      if desynchronized
+                      else self.run(n_cycles, obstacle_provider))
+            for ns, records in ep_log.records.items():
+                for m in records:
+                    log.add(m)
+            if self.experiment is not None:
+                self.experiment.on_task_complete(
+                    completed=self.all_reached_goal(),
+                    collisions=self.episode_collisions,
+                    now=now() if now else None)
+            if ep + 1 < n_episodes:
+                self.reset_environment()
         return log
 
     def all_reached_goal(self) -> bool:

@@ -87,12 +87,9 @@ def _pack_results(res: "SQPResult"):
     return jnp.concatenate([flat, extra], axis=1)
 
 
-def fetch_results(res: "SQPResult") -> "SQPResult":
-    """One-transfer host fetch: an SQPResult whose fields are numpy arrays
-    (z (B,T,nz) float, cost/eq_res/qp_comp (B,) float, exit_code (B,) int,
-    success (B,) bool)."""
-    B, T, nz = res.z.shape
-    packed = np.asarray(_pack_results(res))
+def unpack_results(packed: np.ndarray, T: int, nz: int) -> "SQPResult":
+    """Host-side inverse of :func:`_pack_results` (numpy fields)."""
+    B = packed.shape[0]
     n = T * nz
     return SQPResult(
         z=packed[:, :n].astype(float).reshape(B, T, nz),
@@ -101,6 +98,29 @@ def fetch_results(res: "SQPResult") -> "SQPResult":
         qp_comp=packed[:, n + 2].astype(float).copy(),
         exit_code=np.rint(packed[:, n + 3]).astype(int),
         success=packed[:, n + 4] > 0.5)
+
+
+def fetch_results(res: "SQPResult") -> "SQPResult":
+    """One-transfer host fetch: an SQPResult whose fields are numpy arrays
+    (z (B,T,nz) float, cost/eq_res/qp_comp (B,) float, exit_code (B,) int,
+    success (B,) bool)."""
+    B, T, nz = res.z.shape
+    return unpack_results(np.asarray(_pack_results(res)), T, nz)
+
+
+def make_packed_solve(batched_solve):
+    """Fuse a batched solve with :func:`_pack_results` into ONE jitted
+    program, so a runtime tick costs exactly one device dispatch plus one
+    packed readback (on tunneled backends every extra dispatch is a full
+    round-trip). Returns ``packed(params, xinit, z_init) -> (B, T*nz+5)``;
+    decode with :func:`unpack_results`."""
+    import jax
+
+    @jax.jit
+    def packed(params, xinit, z_init):
+        return _pack_results(batched_solve(params, xinit, z_init))
+
+    return packed
 
 
 def fetch_result_single(res: "SQPResult") -> "SQPResult":

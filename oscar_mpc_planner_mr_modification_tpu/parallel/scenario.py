@@ -47,7 +47,8 @@ import jax
 import jax.numpy as jnp
 
 from ..modules.scenario_constraints import N_SCENARIO_CONSTRAINTS
-from ..ops.sqp import fetch_results, make_sqp_solver, SQPResult
+from ..ops.sqp import (make_fleet_sqp_solver, make_packed_solve,
+                       make_sqp_solver, SQPResult, unpack_results)
 from ..types import PredictionType
 
 
@@ -213,21 +214,13 @@ class ScenarioOptimizer:
             self.n_samples = scenario_sample_size(
                 self.epsilon, self.beta, self.max_support)
         self.rng = np.random.default_rng(seed)
-        if (jax.devices()[0].platform == "tpu"
-                and solver.dtype == jnp.float32):
-            from ..ops.sqp import make_fleet_sqp_solver
-
-            fleet = make_fleet_sqp_solver(solver.ocp, solver.config,
-                                          dtype=solver.dtype, backend="pallas")
-
-            def batched(params, xinit, z_init):
-                P = params.shape[0]
-                return fleet(params, jnp.tile(xinit[None], (P, 1)), z_init)
-
-            self._batched_solve = batched
-        else:
-            raw = make_sqp_solver(solver.ocp, solver.config, dtype=solver.dtype)
-            self._batched_solve = jax.jit(jax.vmap(raw, in_axes=(0, None, 0)))
+        # Backend ladder as in parallel/tmpc.py: fused whole-SQP kernel first
+        # on TPU, per-iteration pallas fallback at runtime, XLA elsewhere;
+        # solve+packing fused into one dispatch.
+        on_tpu = (jax.devices()[0].platform == "tpu"
+                  and solver.dtype == jnp.float32)
+        self._fleet_backends = ["fused", "pallas"] if on_tpu else ["xla"]
+        self._packed_solve = None
         reg = solver.ocp.registry
         # (n_discs, 24) parameter columns: every disc gets its own polytope
         self.n_discs = int(settings["n_discs"])
@@ -292,6 +285,49 @@ class ScenarioOptimizer:
         self._samples = means[None, None] + walk
         self._sample_radii = radii
 
+    def _build_packed_solve(self, backend):
+        if backend == "xla":
+            raw = make_sqp_solver(self.solver.ocp, self.solver.config,
+                                  dtype=self.solver.dtype)
+            batched = jax.vmap(raw, in_axes=(0, None, 0))
+        else:
+            fleet = make_fleet_sqp_solver(self.solver.ocp, self.solver.config,
+                                          dtype=self.solver.dtype,
+                                          backend=backend)
+
+            def batched(params, xinit, z_init):
+                P = params.shape[0]
+                return fleet(params, jnp.tile(xinit[None], (P, 1)), z_init)
+
+        return make_packed_solve(batched)
+
+    def _solve_batch(self, params, xinit, warmstarts) -> SQPResult:
+        """One dispatch + one packed readback, with the first call probing
+        the backend ladder (see parallel/tmpc.py::_solve_batch)."""
+        T, nz = self.solver.N + 1, self.solver.nvar
+        args = (jnp.asarray(params), jnp.asarray(xinit),
+                jnp.asarray(warmstarts))
+        if self._packed_solve is not None:
+            return unpack_results(np.asarray(self._packed_solve(*args)), T, nz)
+        last_exc = None
+        for i, backend in enumerate(self._fleet_backends):
+            try:
+                fn = self._build_packed_solve(backend)
+                out = np.asarray(fn(*args))
+                self._packed_solve = fn
+                self.fleet_backend = backend
+                return unpack_results(out, T, nz)
+            except Exception as exc:
+                last_exc = exc
+                if i + 1 < len(self._fleet_backends):
+                    import warnings
+
+                    warnings.warn(
+                        f"fleet backend {backend!r} failed at first call "
+                        f"({exc}); falling back to "
+                        f"{self._fleet_backends[i + 1]!r}")
+        raise last_exc
+
     # -- optimize (scenario_constraints.cpp:58-108) ------------------------
     def optimize(self, state, data, module_data) -> int:
         if self._samples is None:
@@ -308,9 +344,7 @@ class ScenarioOptimizer:
         self.last_uncovered = self._fill_scenario_constraints(
             params, warmstarts, ix, iy)
 
-        results = fetch_results(self._batched_solve(
-            jnp.asarray(params), jnp.asarray(self.solver._xinit),
-            jnp.asarray(warmstarts)))
+        results = self._solve_batch(params, self.solver._xinit, warmstarts)
         costs = results.cost
         success = results.success
         exit_codes = results.exit_code

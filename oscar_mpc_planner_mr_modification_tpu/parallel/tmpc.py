@@ -34,7 +34,8 @@ import jax.numpy as jnp
 
 from ..guidance.global_guidance import (GlobalGuidance, GuidanceConfig,
                                         TOPOLOGY_NO_MATCH)
-from ..ops.sqp import fetch_results, make_sqp_solver, SQPResult
+from ..ops.sqp import (make_fleet_sqp_solver, make_packed_solve,
+                       make_sqp_solver, SQPResult, unpack_results)
 from ..types import SolverState
 
 
@@ -64,24 +65,16 @@ class TMPCOptimizer:
         )
         self.global_guidance = GlobalGuidance(gcfg)
 
-        # Batched solver over the planner axis. On TPU at f32 the fused Pallas
-        # fleet path is used; elsewhere a vmapped XLA solve.
-        backend = "pallas" if (jax.devices()[0].platform == "tpu"
-                              and solver.dtype == jnp.float32) else "xla"
-        if backend != "xla":
-            from ..ops.sqp import make_fleet_sqp_solver
-
-            fleet = make_fleet_sqp_solver(solver.ocp, solver.config,
-                                          dtype=solver.dtype, backend=backend)
-
-            def batched(params, xinit, z_init):
-                P = params.shape[0]
-                return fleet(params, jnp.tile(xinit[None], (P, 1)), z_init)
-
-            self._batched_solve = batched
-        else:
-            raw = make_sqp_solver(solver.ocp, solver.config, dtype=solver.dtype)
-            self._batched_solve = jax.jit(jax.vmap(raw, in_axes=(0, None, 0)))
+        # Batched solver over the planner axis. On TPU at f32 the fused
+        # whole-SQP kernel is tried first (ops/sqp_fused.py), falling back to
+        # the per-iteration Pallas kernel at the first call if Mosaic rejects
+        # the OCP's in-kernel trace; elsewhere a vmapped XLA solve. The solve
+        # is fused with the result packing so one tick costs ONE dispatch +
+        # one packed readback.
+        on_tpu = (jax.devices()[0].platform == "tpu"
+                  and solver.dtype == jnp.float32)
+        self._fleet_backends = ["fused", "pallas"] if on_tpu else ["xla"]
+        self._packed_solve = None  # built lazily (with runtime fallback)
 
         # Parameter column indices
         reg = solver.ocp.registry
@@ -109,6 +102,51 @@ class TMPCOptimizer:
         # Last-cycle diagnostics (per planner)
         self.last_objectives = np.zeros(self.n_planners)
         self.last_exit_codes = np.zeros(self.n_planners, dtype=int)
+
+    # ------------------------------------------------------------------
+    def _build_packed_solve(self, backend):
+        if backend == "xla":
+            raw = make_sqp_solver(self.solver.ocp, self.solver.config,
+                                  dtype=self.solver.dtype)
+            batched = jax.vmap(raw, in_axes=(0, None, 0))
+        else:
+            fleet = make_fleet_sqp_solver(self.solver.ocp, self.solver.config,
+                                          dtype=self.solver.dtype,
+                                          backend=backend)
+
+            def batched(params, xinit, z_init):
+                P = params.shape[0]
+                return fleet(params, jnp.tile(xinit[None], (P, 1)), z_init)
+
+        return make_packed_solve(batched)
+
+    def _solve_batch(self, params, xinit, warmstarts) -> SQPResult:
+        """One device dispatch + one packed readback; the first call probes
+        the backend ladder (fused -> pallas on TPU) so a Mosaic rejection of
+        the fused in-kernel trace degrades gracefully at runtime."""
+        T, nz = self.solver.N + 1, self.solver.nvar
+        args = (jnp.asarray(params), jnp.asarray(xinit),
+                jnp.asarray(warmstarts))
+        if self._packed_solve is not None:
+            return unpack_results(np.asarray(self._packed_solve(*args)), T, nz)
+        last_exc = None
+        for i, backend in enumerate(self._fleet_backends):
+            try:
+                fn = self._build_packed_solve(backend)
+                out = np.asarray(fn(*args))
+                self._packed_solve = fn
+                self.fleet_backend = backend
+                return unpack_results(out, T, nz)
+            except Exception as exc:  # Mosaic/trace rejection: next backend
+                last_exc = exc
+                if i + 1 < len(self._fleet_backends):
+                    import warnings
+
+                    warnings.warn(
+                        f"fleet backend {backend!r} failed at first call "
+                        f"({exc}); falling back to "
+                        f"{self._fleet_backends[i + 1]!r}")
+        raise last_exc
 
     # ------------------------------------------------------------------
     def update(self, state, data, module_data) -> None:
@@ -213,10 +251,8 @@ class TMPCOptimizer:
                 self._fill_consistency_params(params[p], consistency_enabled[p])
         self._fill_topology_constraints(params, warmstarts, data, topo_planners)
 
-        # Batched solve on device
-        xinit = jnp.asarray(self.solver._xinit)
-        results = fetch_results(self._batched_solve(
-            jnp.asarray(params), xinit, jnp.asarray(warmstarts)))
+        # Batched solve on device: one dispatch, one packed readback
+        results = self._solve_batch(params, self.solver._xinit, warmstarts)
         Z = results.z
         costs = results.cost.copy()
         exit_codes = results.exit_code
