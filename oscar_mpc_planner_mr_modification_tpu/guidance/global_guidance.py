@@ -19,7 +19,8 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from .homotopy import signature_vector, same_homotopy_class
+from .homotopy import (make_comparator, same_homotopy_class,
+                       signature_vector)
 from ..ops.spline_fit import natural_cubic_coeffs
 
 TOPOLOGY_NO_MATCH = -999
@@ -57,6 +58,12 @@ class GuidanceConfig:
     selection_weight_length: float = 5.0
     max_paths_to_enumerate: int = 200
     pass_threshold: float = np.pi  # winding-difference class threshold
+    # Homotopy comparison function: "Winding" or "Homology" (H-signature),
+    # the guidance_planner's comparison_function option
+    # (config/guidance_planner.yaml:12-16; its default is Homology, ours is
+    # Winding - the two agree on clear-cut passing sides, see
+    # tests/test_guidance.py, and Winding is cheaper).
+    comparison_function: str = "Winding"
 
 
 class GlobalGuidance:
@@ -65,6 +72,9 @@ class GlobalGuidance:
         """backend: "python" (portable reference), "cpp" (native PRM via
         ctypes, guidance/cpp_backend.py), or "auto" (cpp when buildable)."""
         self.config = config or GuidanceConfig()
+        self._signature, self._class_threshold = make_comparator(
+            self.config.comparison_function, self.config.dt,
+            self.config.pass_threshold)
         self.backend = backend
         self.rng = np.random.default_rng(
             self.config.seed if self.config.seed >= 0 else None)
@@ -331,7 +341,7 @@ class GlobalGuidance:
             pts = np.array([nodes[i][0] for i in path])
             ts = np.array([nodes[i][1] for i in path])
             sampled = self._resample(pts, ts)
-            sig = signature_vector(sampled, self._obstacle_trajs[:, : cfg.N + 1])
+            sig = self._signature(sampled, self._obstacle_trajs[:, : cfg.N + 1])
             goal_cost = nodes[path[-1]][3]
             length = float(np.sum(np.linalg.norm(np.diff(pts, axis=0), axis=1)))
             cost = goal_cost + cfg.selection_weight_length * length
@@ -347,19 +357,21 @@ class GlobalGuidance:
         # Previously selected path: recompute its signature on current obstacles
         prev_sig = None
         if self._selected_path is not None and self._selected_class >= 0:
-            prev_sig = signature_vector(
+            prev_sig = self._signature(
                 self._selected_path, self._obstacle_trajs[:, : cfg.N + 1])
 
         chosen: List[GuidanceTrajectory] = []
         for cost, sampled, sig in candidates:
-            if any(same_homotopy_class(sig, c.signature, cfg.pass_threshold)
+            if any(same_homotopy_class(sig, c.signature,
+                                       self._class_threshold)
                    for c in chosen):
                 continue
             smoothed = self._smooth(sampled)
             vel = np.gradient(smoothed, cfg.dt, axis=0)
             previously_selected = (
                 prev_sig is not None
-                and same_homotopy_class(sig, prev_sig, cfg.pass_threshold))
+                and same_homotopy_class(sig, prev_sig,
+                                        self._class_threshold))
             class_id = self._assign_class_id(sig, previously_selected)
             chosen.append(GuidanceTrajectory(
                 positions=smoothed, velocities=vel, topology_class=class_id,
@@ -403,9 +415,9 @@ class GlobalGuidance:
             return self._selected_class
         # Match against known class representatives (re-evaluated signatures)
         for class_id, rep_path in self._known_classes:
-            rep_sig = signature_vector(
+            rep_sig = self._signature(
                 rep_path, self._obstacle_trajs[:, : self.config.N + 1])
-            if same_homotopy_class(sig, rep_sig, self.config.pass_threshold):
+            if same_homotopy_class(sig, rep_sig, self._class_threshold):
                 return class_id
         class_id = self._class_counter
         self._class_counter += 1
@@ -427,11 +439,11 @@ class GlobalGuidance:
         if not self.trajectories:
             return TOPOLOGY_NO_MATCH
         n = min(len(path_xy), self.config.N + 1)
-        sig = signature_vector(path_xy[:n], self._obstacle_trajs[:, :n])
+        sig = self._signature(path_xy[:n], self._obstacle_trajs[:, :n])
         for traj in self.trajectories:
-            tr_sig = signature_vector(traj.positions[:n],
-                                      self._obstacle_trajs[:, :n])
-            if same_homotopy_class(sig, tr_sig, self.config.pass_threshold):
+            tr_sig = self._signature(traj.positions[:n],
+                                     self._obstacle_trajs[:, :n])
+            if same_homotopy_class(sig, tr_sig, self._class_threshold):
                 return traj.topology_class
         return TOPOLOGY_NO_MATCH
 

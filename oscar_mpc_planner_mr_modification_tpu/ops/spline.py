@@ -9,15 +9,21 @@ segment backwards. This keeps the whole-horizon path a single differentiable
 expression - exactly what both CasADi and XLA want (no data-dependent branching on
 the active segment).
 
-Evaluation is fully vectorized over the VALUE axes: ``s`` and each coefficient may
-carry arbitrary (broadcast-compatible) batch shapes. The SEGMENT axis, however, is
-a Python list (statically unrolled, mirroring the reference's per-segment symbolic
-objects): integer indexing on a trailing array axis lowers to ``dynamic_slice``,
-which the Pallas TPU backend cannot compile, and inside the fused SQP kernel
-(ops/sqp_fused.py) a stacked segment axis would also displace the (sublane, lane)
-batch tile from the trailing positions. List-unrolled segments keep every op
-elementwise on the batch tile. ``jax.nn.sigmoid`` replaces the reference's raw
-``1/(1+exp(t))`` - mathematically identical but overflow-safe in float32.
+Evaluation is fully vectorized with the segment axis LEADING (shape
+``(M, ...batch)``). Two layout constraints force this (round-3 findings):
+
+- the fused SQP kernel (ops/sqp_fused.py) traces this code on (8, 128) batch
+  tiles, where the batch MUST stay on the trailing two axes (a trailing
+  segment axis displaces the lane dim) and trailing-axis integer indexing
+  lowers to ``dynamic_slice``, which Mosaic cannot compile — leading-axis
+  positive-constant indexing lowers to a static slice;
+- a fully list-unrolled variant (no segment axis at all) was tried and kept
+  the kernel happy but slowed the XLA-side per-iteration linearization ~7x
+  on TPU (30 -> 219 ms per 4608-plan fleet step): XLA:TPU materialized the M
+  separate polynomial/sigmoid chains instead of one vectorized op.
+
+``jax.nn.sigmoid`` replaces the reference's raw ``1/(1+exp(t))`` -
+mathematically identical but overflow-safe in float32.
 """
 
 from __future__ import annotations
@@ -27,26 +33,34 @@ import jax.numpy as jnp
 
 
 def _as_segments(x):
-    """Per-segment list from either a list/tuple or a (..., M)-stacked array."""
+    """Leading-segment-axis array from a per-segment list (the Spline class
+    path — kernel-safe, no transpose) or a trailing-axis (..., M) array (the
+    legacy array API used by host code/tests)."""
     if isinstance(x, (list, tuple)):
-        return list(x)
-    return [x[..., i] for i in range(x.shape[-1])]
+        return jnp.stack(x, axis=0)
+    x = jnp.asarray(x)
+    if x.ndim == 1:
+        return x
+    return jnp.moveaxis(x, -1, 0)
 
 
 def _chain_blend(values, lambdas):
     """Iteratively glue segment values back-to-front (reference spline.py:39-44).
 
-    values: list of M per-segment evaluations; lambdas: list of M-1 weights.
+    values: (M, ...) per-segment evaluations; lambdas: (M-1, ...) weights.
+    Indexing uses positive constants on the leading axis only (static slices
+    under Mosaic; negative/trailing integer indexing lowers to dynamic_slice).
     """
-    out = values[-1]
-    for k in range(len(values) - 1, 0, -1):
+    M = values.shape[0]
+    out = values[M - 1]
+    for k in range(M - 1, 0, -1):
         lam = lambdas[k - 1]
         out = lam * values[k - 1] + (1.0 - lam) * out
     return out
 
 
 def _lambdas(starts, s):
-    return [jax.nn.sigmoid(-(s - st + 0.02) / 0.1) for st in starts[1:]]
+    return jax.nn.sigmoid(-(s[None] - starts[1:] + 0.02) / 0.1)
 
 
 def eval_spline(a, b, c, d, starts, s):
@@ -54,28 +68,23 @@ def eval_spline(a, b, c, d, starts, s):
     (..., M)-stacked arrays; s: scalar or batched."""
     a, b, c, d, starts = map(_as_segments, (a, b, c, d, starts))
     s = jnp.asarray(s)
-    vals = []
-    for ai, bi, ci, di, sti in zip(a, b, c, d, starts):
-        ds = s - sti
-        vals.append(((ai * ds + bi) * ds + ci) * ds + di)
+    ds = s[None] - starts
+    vals = ((a * ds + b) * ds + c) * ds + d
     return _chain_blend(vals, _lambdas(starts, s))
 
 
 def eval_spline_deriv(a, b, c, starts, s):
     a, b, c, starts = map(_as_segments, (a, b, c, starts))
     s = jnp.asarray(s)
-    vals = []
-    for ai, bi, ci, sti in zip(a, b, c, starts):
-        ds = s - sti
-        vals.append((3.0 * ai * ds + 2.0 * bi) * ds + ci)
+    ds = s[None] - starts
+    vals = (3.0 * a * ds + 2.0 * b) * ds + c
     return _chain_blend(vals, _lambdas(starts, s))
 
 
 def eval_spline_deriv2(a, b, starts, s):
     a, b, starts = map(_as_segments, (a, b, starts))
     s = jnp.asarray(s)
-    vals = [6.0 * ai * (s - sti) + 2.0 * bi
-            for ai, bi, sti in zip(a, b, starts)]
+    vals = 6.0 * a * (s[None] - starts) + 2.0 * b
     return _chain_blend(vals, _lambdas(starts, s))
 
 
@@ -84,8 +93,9 @@ class Spline:
 
     ``name`` is e.g. ``"spline_x"``; coefficients are read from parameters
     ``{name}{i}_a..d`` and knots from ``spline{i}_start``. Coefficients are
-    held as per-segment lists (see module header); each entry is a scalar or
-    a batched array matching ``s``'s trailing batch axes.
+    held as per-segment lists and stacked on the LEADING axis at evaluation
+    (see module header); each entry is a scalar or a batched array matching
+    ``s``'s batch axes.
     """
 
     def __init__(self, params, name: str, num_segments: int, s):

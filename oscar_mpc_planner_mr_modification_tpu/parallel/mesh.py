@@ -38,14 +38,17 @@ def make_mesh(n_robots: int, n_planner_shards: int, devices=None) -> Mesh:
 
 
 def select_backend(backend: str = "auto", platform: str | None = None) -> str:
-    """QP backend for the sharded step: the fused Pallas kernel on TPU, the
-    vmapped XLA solver elsewhere (CPU virtual meshes, tests). The multi-chip
-    path MUST be the fast path — the reference's parallel fan-out IS its
-    production path (guidance_constraints.cpp:304-421)."""
+    """QP backend for the sharded step: the fused whole-SQP Pallas kernel on
+    TPU (ops/sqp_fused.py — linearization + interior point in one
+    pallas_call, ~3x the per-iteration kernel), the vmapped XLA solver
+    elsewhere (CPU virtual meshes, tests). The multi-chip path MUST be the
+    fast path — the reference's parallel fan-out IS its production path
+    (guidance_constraints.cpp:304-421). Pass backend="pallas" explicitly for
+    OCPs whose in-kernel trace Mosaic rejects."""
     if backend != "auto":
         return backend
     platform = platform or jax.default_backend()
-    return "pallas" if platform == "tpu" else "xla"
+    return "fused" if platform == "tpu" else "xla"
 
 
 def make_sharded_tmpc_step(ocp, config: SQPConfig, mesh: Mesh,

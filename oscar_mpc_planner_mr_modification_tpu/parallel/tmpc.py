@@ -62,6 +62,8 @@ class TMPCOptimizer:
             vertical_goals=int(settings["guidance"]["vertical_goals"]),
             selection_weight_consistency=float(
                 settings["guidance"]["selection_weight_consistency"]),
+            comparison_function=str(
+                settings["guidance"].get("comparison_function", "Winding")),
         )
         self.global_guidance = GlobalGuidance(gcfg)
 

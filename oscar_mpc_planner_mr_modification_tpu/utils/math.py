@@ -83,10 +83,77 @@ def erfinv_newton(x):
     return y
 
 
-def jax_erf(x):
-    import jax.scipy.special as jsp
+# Cody/CALERF rational coefficients (W. J. Cody, "Rational Chebyshev
+# approximation for the error function", Math. Comp. 23 (1969); the classic
+# netlib calerf implementation). Max relative error ~1e-16 in double.
+_ERF_A = (3.16112374387056560e0, 1.13864154151050156e2,
+          3.77485237685302021e2, 3.20937758913846947e3,
+          1.85777706184603153e-1)
+_ERF_B = (2.36012909523441209e1, 2.44024637934444173e2,
+          1.28261652607737228e3, 2.84423683343917062e3)
+_ERF_C = (5.64188496988670089e-1, 8.88314979438837594e0,
+          6.61191906371416295e1, 2.98635138197400131e2,
+          8.81952221241769090e2, 1.71204761263407058e3,
+          2.05107837782607147e3, 1.23033935479799725e3,
+          2.15311535474403846e-8)
+_ERF_D = (1.57449261107098347e1, 1.17693950891312499e2,
+          5.37181101862009858e2, 1.62138957456669019e3,
+          3.29079923573345963e3, 4.36261909014324716e3,
+          3.43936767414372164e3, 1.23033935480374942e3)
+_ERF_P = (3.05326634961232344e-1, 3.60344899949804439e-1,
+          1.25781726111229246e-1, 1.60837851487422766e-2,
+          6.58749161529837803e-4, 1.63153871373020978e-2)
+_ERF_Q = (2.56852019228982242e0, 1.87295284992346047e0,
+          5.27905102951428412e-1, 6.05183413124413191e-2,
+          2.33520497626869185e-3)
 
-    return jsp.erf(x)
+
+def jnp_erf(x):
+    """Error function from primitives the Pallas TPU backend can lower.
+
+    Mosaic has no ``erf`` lowering (it does have ``erf_inv``), so module math
+    that must trace inside the fused SQP kernel (the CC-MPC chance
+    constraint's erfinv-Newton polish) uses this Cody/CALERF rational
+    approximation (exp + polynomials only; double-precision accurate to
+    ~1e-16, validated against scipy in tests/test_modules.py)."""
+    y = jnp.abs(x)
+    # Region 1: |x| <= 0.46875 -> erf directly
+    z1 = jnp.where(y <= 0.46875, y * y, 0.0)
+    num = _ERF_A[4] * z1
+    den = z1
+    for i in range(3):
+        num = (num + _ERF_A[i]) * z1
+        den = (den + _ERF_B[i]) * z1
+    r1 = x * (num + _ERF_A[3]) / (den + _ERF_B[3])
+
+    # Region 2: 0.46875 < |x| <= 4 -> erfc via C/D rational * exp(-x^2)
+    y2 = jnp.where(y > 0.46875, y, 1.0)
+    num = _ERF_C[8] * y2
+    den = y2
+    for i in range(7):
+        num = (num + _ERF_C[i]) * y2
+        den = (den + _ERF_D[i]) * y2
+    erfc2 = jnp.exp(-y2 * y2) * (num + _ERF_C[7]) / (den + _ERF_D[7])
+
+    # Region 3: |x| > 4 -> asymptotic erfc
+    inv2 = 1.0 / (y2 * y2)
+    num = _ERF_P[5] * inv2
+    den = inv2
+    for i in range(4):
+        num = (num + _ERF_P[i]) * inv2
+        den = (den + _ERF_Q[i]) * inv2
+    res3 = inv2 * (num + _ERF_P[4]) / (den + _ERF_Q[4])
+    erfc3 = jnp.exp(-y2 * y2) * (0.5641895835477562869 - res3) / y2
+
+    erfc_tail = jnp.where(y <= 4.0, erfc2, erfc3)
+    # Saturate far tail (exp underflow region): erf(|x| > 6) == 1 in double
+    erfc_tail = jnp.where(y > 26.5, 0.0, erfc_tail)
+    r23 = jnp.where(x >= 0.0, 1.0 - erfc_tail, erfc_tail - 1.0)
+    return jnp.where(y <= 0.46875, r1, r23)
+
+
+def jax_erf(x):
+    return jnp_erf(x)
 
 
 def exponential_quantile(rate: float, p):

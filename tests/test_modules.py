@@ -278,3 +278,18 @@ def test_all_modules_construct_together():
     cons = mm.constraints(model, jnp.asarray(z), reg.view(jnp.asarray(p)), settings, 1)
     assert np.isfinite(float(cost))
     assert len(cons) == 6
+
+
+def test_cody_erf_is_double_precision_exact():
+    """jnp_erf (Cody/CALERF rational form - the Pallas-safe erf used inside
+    the CC-MPC erfinv-Newton polish) matches scipy.special.erf to ~1 ulp
+    across all three approximation regions and the saturated tail."""
+    from scipy.special import erf as scipy_erf
+
+    from oscar_mpc_planner_mr_modification_tpu.utils.math import jnp_erf
+
+    x = np.concatenate([
+        np.linspace(-8.0, 8.0, 20001),
+        [0.0, 0.46875, -0.46875, 4.0, -4.0, 26.4, 27.0, -30.0, 1e-12]])
+    ours = np.asarray(jnp_erf(jnp.asarray(x)))
+    np.testing.assert_allclose(ours, scipy_erf(x), atol=5e-16)

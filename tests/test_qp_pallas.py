@@ -333,3 +333,64 @@ def test_fused_sqp_kernel_matches_xla_backend():
         np.testing.assert_allclose(np.asarray(r_fused.cost),
                                    np.asarray(r_xla.cost),
                                    rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_fused_sqp_kernel_gaussian_config():
+    """CC-MPC chance constraints (erfinv-Newton with the Cody-rational erf)
+    through the fused whole-SQP kernel in interpret mode, parity vs the XLA
+    backend - erf was the last shipped-module primitive Mosaic could not
+    lower."""
+    from oscar_mpc_planner_mr_modification_tpu.modules import (
+        GaussianConstraintModule, GoalModule, ModuleManager, MPCBaseModule)
+    from oscar_mpc_planner_mr_modification_tpu.models import (
+        SecondOrderUnicycleModel)
+    from oscar_mpc_planner_mr_modification_tpu.solver import build_ocp
+    from oscar_mpc_planner_mr_modification_tpu.utils import default_settings
+
+    N = 3
+    settings = default_settings(N=N, max_obstacles=1)
+    model = SecondOrderUnicycleModel()
+    mm = ModuleManager()
+    base = mm.add_module(MPCBaseModule(settings))
+    base.weigh_variable("a", "acceleration")
+    base.weigh_variable("w", "angular_velocity")
+    mm.add_module(GoalModule(settings))
+    mm.add_module(GaussianConstraintModule(settings))
+    ocp = build_ocp(model, mm, settings)
+
+    idx = ocp.registry.save_map()
+    P = np.zeros((N, ocp.npar))
+    P[:, idx["acceleration"]] = 0.34
+    P[:, idx["angular_velocity"]] = 0.85
+    P[:, idx["goal_weight"]] = 1.0
+    P[:, idx["goal_x"]] = 3.0
+    P[:, idx["goal_y"]] = 0.8
+    P[:, idx["ego_disc_radius"]] = 0.325
+    P[:, idx["ego_disc_0_offset"]] = 0.0
+    P[:, idx["gaussian_obst_0_x"]] = 1.5
+    P[:, idx["gaussian_obst_0_y"]] = 0.5
+    P[:, idx["gaussian_obst_0_major"]] = 0.2
+    P[:, idx["gaussian_obst_0_minor"]] = 0.15
+    P[:, idx["gaussian_obst_0_risk"]] = 0.05
+    P[:, idx["gaussian_obst_0_r"]] = 0.3
+
+    B = 2
+    Pb = np.tile(P[None], (B, 1, 1))
+    Pb[1, :, idx["goal_y"]] = -0.8
+    x0 = np.array([0.0, 0.0, 0.0, 0.5])
+    x0b = np.tile(x0[None], (B, 1))
+    zb = np.zeros((B, N + 1, ocp.nvar))
+    zb[..., ocp.nu:] = x0b[:, None, :]
+    args = (jnp.asarray(Pb), jnp.asarray(x0b), jnp.asarray(zb))
+
+    cfg = SQPConfig(n_sqp=4, n_qp_iter=12, mu_min=1e-10,
+                    regularization="gershgorin", track_best=False)
+    r_xla = make_fleet_sqp_solver(ocp, cfg, dtype=jnp.float64,
+                                  backend="xla")(*args)
+    r_fused = make_fleet_sqp_solver(ocp, cfg, dtype=jnp.float64,
+                                    backend="fused", interpret=True)(*args)
+    assert bool(np.all(np.asarray(r_xla.success)))
+    assert bool(np.all(np.asarray(r_fused.success)))
+    np.testing.assert_allclose(np.asarray(r_fused.z)[:, :-1],
+                               np.asarray(r_xla.z)[:, :-1], atol=1e-4)
