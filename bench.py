@@ -94,8 +94,10 @@ def main():
     step = None
     for bi, backend in enumerate(backends):
         try:
+            log(f"building fleet step (backend={backend})...")
             step = make_batched_tmpc_step(ocp, config, dtype=jnp.float32,
                                           backend=backend)
+            log("compiling fleet step...")
             out0 = step(*args)
             float(jnp.sum(out0.best_cost))  # force compile+run through
             break
@@ -183,7 +185,7 @@ def main():
     if remaining() > 240:
         log("phase 3: chained-scan on-device latency...")
         fleet = make_fleet_sqp_solver(ocp, config, dtype=jnp.float32,
-                                      backend="pallas"
+                                      backend=backend
                                       if platform == "tpu" else "xla")
         P = n_paths + 1
         b8 = 8 * P

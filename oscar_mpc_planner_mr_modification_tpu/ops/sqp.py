@@ -123,6 +123,36 @@ def make_packed_solve(batched_solve):
     return packed
 
 
+def make_buffered_packed_solve(batched_solve, P, N, npar, nx, nz, dtype):
+    """Single-buffer variant of :func:`make_packed_solve` for runtime ticks:
+    params + xinit + warmstart are flattened host-side into ONE array (cast
+    to the solve dtype, halving f64 staging), uploaded in one transfer, and
+    the packed result is fetched in one readback — on tunneled transports
+    each separate input upload can cost a full round trip. Returns
+    ``solve(params (P,N,npar), xinit (nx,), warm (P,N+1,nz)) -> packed np``;
+    decode with :func:`unpack_results`."""
+    import jax
+
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    n_par = P * N * npar
+
+    @jax.jit
+    def packed(buf):
+        params = buf[:n_par].reshape(P, N, npar)
+        xinit = buf[n_par:n_par + nx]
+        warm = buf[n_par + nx:].reshape(P, N + 1, nz)
+        return _pack_results(batched_solve(params, xinit, warm))
+
+    def solve(params, xinit, warm):
+        buf = np.concatenate([
+            np.asarray(params, np_dtype).reshape(-1),
+            np.asarray(xinit, np_dtype).reshape(-1),
+            np.asarray(warm, np_dtype).reshape(-1)])
+        return np.asarray(packed(buf))
+
+    return solve
+
+
 def fetch_result_single(res: "SQPResult") -> "SQPResult":
     """:func:`fetch_results` for a batchless result (z (T, nz))."""
     batched = fetch_results(

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from ..guidance.global_guidance import (GlobalGuidance, GuidanceConfig,
                                         TOPOLOGY_NO_MATCH)
-from ..ops.sqp import (make_fleet_sqp_solver, make_packed_solve,
+from ..ops.sqp import (make_buffered_packed_solve, make_fleet_sqp_solver,
                        make_sqp_solver, SQPResult, unpack_results)
 from ..types import SolverState
 
@@ -120,22 +120,23 @@ class TMPCOptimizer:
                 P = params.shape[0]
                 return fleet(params, jnp.tile(xinit[None], (P, 1)), z_init)
 
-        return make_packed_solve(batched)
+        sv = self.solver
+        return make_buffered_packed_solve(
+            batched, self.n_planners, sv.N, sv.ocp.npar, sv.nx, sv.nvar, sv.dtype)
 
     def _solve_batch(self, params, xinit, warmstarts) -> SQPResult:
         """One device dispatch + one packed readback; the first call probes
         the backend ladder (fused -> pallas on TPU) so a Mosaic rejection of
         the fused in-kernel trace degrades gracefully at runtime."""
         T, nz = self.solver.N + 1, self.solver.nvar
-        args = (jnp.asarray(params), jnp.asarray(xinit),
-                jnp.asarray(warmstarts))
+        args = (params, xinit, warmstarts)
         if self._packed_solve is not None:
-            return unpack_results(np.asarray(self._packed_solve(*args)), T, nz)
+            return unpack_results(self._packed_solve(*args), T, nz)
         last_exc = None
         for i, backend in enumerate(self._fleet_backends):
             try:
                 fn = self._build_packed_solve(backend)
-                out = np.asarray(fn(*args))
+                out = fn(*args)
                 self._packed_solve = fn
                 self.fleet_backend = backend
                 return unpack_results(out, T, nz)
