@@ -176,6 +176,13 @@ class ContouringModule(ObjectiveModule):
         """Ego-prediction spline value at stage k (warmstart), contouring.cpp:207."""
         return float(self.solver.get_ego_prediction(k, "spline"))
 
+    def _stage_progress_vector(self) -> np.ndarray:
+        """(N-1,) ego-prediction spline values at stages 1..N-1 in one read
+        (the per-stage scalar getters were a measured host hot spot of the
+        real-time tick)."""
+        svar = self.solver.ocp.model.var_index("spline")
+        return np.asarray(self.solver._x0[1:self.solver.N, svar], dtype=float)
+
     def _road_constraints_from_centerline(self, data, module_data) -> None:
         N = self.solver.N
         if module_data.static_obstacles is None:
@@ -183,39 +190,39 @@ class ContouringModule(ObjectiveModule):
         road_width_half = float(self.settings["road"]["width"]) / 2.0
         width_times = 3.0 if self.two_way_road else 1.0
         r = data.robot_area[0].radius
+        ss = self._stage_progress_vector()
+        p = self.spline.at(ss)  # (N-1, 2)
+        t = self.spline.deriv(ss)
+        t = t / (np.linalg.norm(t, axis=1, keepdims=True) + 1e-12)
+        ortho = np.stack([t[:, 1], -t[:, 0]], axis=1)  # right-hand normal
+        # LEFT: A.x <= b with boundary offset along +ortho; RIGHT mirrored
+        bl = np.sum(ortho * (p + ortho * (width_times * road_width_half - r)),
+                    axis=1)
+        br = np.sum(ortho * (p - ortho * (road_width_half - r)), axis=1)
         for k in range(1, N):
-            module_data.static_obstacles[k] = []
-            cur_s = self._stage_progress(k)
-            p = self.spline.at(cur_s)
-            t = self.spline.deriv(cur_s)
-            t = t / (np.linalg.norm(t) + 1e-12)
-            ortho = np.array([t[1], -t[0]])  # right-hand normal
-            # LEFT: A.x <= b with boundary offset along +ortho
-            bl = p + ortho * (width_times * road_width_half - r)
-            module_data.static_obstacles[k].append(Halfspace(ortho, float(ortho @ bl)))
-            # RIGHT
-            br = p - ortho * (road_width_half - r)
-            module_data.static_obstacles[k].append(
-                Halfspace(-ortho, float(-(ortho @ br))))
+            module_data.static_obstacles[k] = [
+                Halfspace(ortho[k - 1], float(bl[k - 1])),
+                Halfspace(-ortho[k - 1], float(-br[k - 1]))]
 
     def _road_constraints_from_bounds(self, data, module_data) -> None:
         N = self.solver.N
         if module_data.static_obstacles is None:
             module_data.static_obstacles = [[] for _ in range(N)]
         r = data.robot_area[0].radius
+        ss = self._stage_progress_vector()
+        halves = []
+        for bound, sign in ((self.bound_left, -1.0), (self.bound_right, 1.0)):
+            t = bound.deriv(ss)
+            t = t / (np.linalg.norm(t, axis=1, keepdims=True) + 1e-12)
+            A = np.stack([t[:, 1], -t[:, 0]], axis=1)
+            # Offset the bound inward by the robot radius so the robot
+            # center stays r inside the physical edge (contouring.cpp:253-263:
+            # left b = A@(p + A*r) with halfspace (-A,-b); right b = A@(p - A*r)).
+            b = np.sum(A * (bound.at(ss) - sign * A * r), axis=1)
+            halves.append((sign * A, sign * b))
         for k in range(1, N):
-            module_data.static_obstacles[k] = []
-            cur_s = self._stage_progress(k)
-            for bound, sign in ((self.bound_left, -1.0), (self.bound_right, 1.0)):
-                t = bound.deriv(cur_s)
-                t = t / (np.linalg.norm(t) + 1e-12)
-                A = np.array([t[1], -t[0]])
-                # Offset the bound inward by the robot radius so the robot
-                # center stays r inside the physical edge (contouring.cpp:253-263:
-                # left b = A@(p + A*r) with halfspace (-A,-b); right b = A@(p - A*r)).
-                b = float(A @ (bound.at(cur_s) - sign * A * r))
-                module_data.static_obstacles[k].append(
-                    Halfspace(sign * A, sign * b))
+            module_data.static_obstacles[k] = [
+                Halfspace(A[k - 1], float(b[k - 1])) for A, b in halves]
 
     def reset(self) -> None:
         self.spline = None

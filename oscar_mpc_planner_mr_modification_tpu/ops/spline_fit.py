@@ -139,22 +139,23 @@ class CubicSpline2D:
         return np.stack([self.x.deriv(s), self.y.deriv(s)], axis=-1)
 
     def closest_s(self, point: np.ndarray, n_samples: int = 400) -> float:
-        """Closest path parameter to a 2D point: coarse sampling + local refinement
-        (mirrors the reference's closest-segment search, contouring.cpp:52-94)."""
+        """Closest path parameter to a 2D point: coarse sampling + two
+        vectorized fine-grid passes (mirrors the reference's closest-segment
+        search, contouring.cpp:52-94; the earlier 30-step scalar ternary
+        refine was a measured host hot spot of the real-time tick — two
+        64-point grid passes reach ~0.1 mm on typical paths with 2 vector
+        evaluations instead of 60 scalar ones)."""
         s_grid = np.linspace(0.0, self.length, n_samples)
         pts = self.at(s_grid)
         d2 = np.sum((pts - point[None, :]) ** 2, axis=1)
         i = int(np.argmin(d2))
         lo = s_grid[max(i - 1, 0)]
         hi = s_grid[min(i + 1, n_samples - 1)]
-        for _ in range(30):  # golden-section-ish bisection refine
-            m1 = lo + (hi - lo) / 3.0
-            m2 = hi - (hi - lo) / 3.0
-            p1, p2 = self.at(np.array([m1, m2]))
-            if np.sum((p1 - point) ** 2) < np.sum((p2 - point) ** 2):
-                hi = m2
-            else:
-                lo = m1
+        for _ in range(2):
+            s_fine = np.linspace(lo, hi, 64)
+            pts = self.at(s_fine)
+            j = int(np.argmin(np.sum((pts - point[None, :]) ** 2, axis=1)))
+            lo, hi = s_fine[max(j - 1, 0)], s_fine[min(j + 1, 63)]
         return 0.5 * (lo + hi)
 
     def segment_index(self, s: float) -> int:

@@ -76,7 +76,9 @@ class TMPCOptimizer:
         on_tpu = (jax.devices()[0].platform == "tpu"
                   and solver.dtype == jnp.float32)
         self._fleet_backends = ["fused", "pallas"] if on_tpu else ["xla"]
-        self._packed_solve = None  # built lazily (with runtime fallback)
+        self._packed_solve = None  # n_sqp -> packed fn (lazy, w/ fallback)
+        self._fleet_n_full = solver.config.n_sqp
+        self.fleet_backend = None
 
         # Parameter column indices
         reg = solver.ocp.registry
@@ -106,13 +108,14 @@ class TMPCOptimizer:
         self.last_exit_codes = np.zeros(self.n_planners, dtype=int)
 
     # ------------------------------------------------------------------
-    def _build_packed_solve(self, backend):
+    def _build_packed_solve(self, backend, n_sqp):
+        config = self.solver.config._replace(n_sqp=n_sqp)
         if backend == "xla":
-            raw = make_sqp_solver(self.solver.ocp, self.solver.config,
+            raw = make_sqp_solver(self.solver.ocp, config,
                                   dtype=self.solver.dtype)
             batched = jax.vmap(raw, in_axes=(0, None, 0))
         else:
-            fleet = make_fleet_sqp_solver(self.solver.ocp, self.solver.config,
+            fleet = make_fleet_sqp_solver(self.solver.ocp, config,
                                           dtype=self.solver.dtype,
                                           backend=backend)
 
@@ -122,34 +125,59 @@ class TMPCOptimizer:
 
         sv = self.solver
         return make_buffered_packed_solve(
-            batched, self.n_planners, sv.N, sv.ocp.npar, sv.nx, sv.nvar, sv.dtype)
+            batched, self.n_planners, sv.N, sv.ocp.npar, sv.nx, sv.nvar,
+            sv.dtype)
 
     def _solve_batch(self, params, xinit, warmstarts) -> SQPResult:
-        """One device dispatch + one packed readback; the first call probes
-        the backend ladder (fused -> pallas on TPU) so a Mosaic rejection of
-        the fused in-kernel trace degrades gracefully at runtime."""
+        """One device dispatch + one packed readback.
+
+        The first call probes the backend ladder (fused -> pallas on TPU) so
+        a Mosaic rejection of the fused in-kernel trace degrades gracefully
+        at runtime. The ITERATION count adapts to the remaining tick budget
+        through the solver's ladder (Solver.select_iterations — the
+        reference sets solver_timeout per parallel planner,
+        guidance_constraints.cpp:362-363); reduced variants compile lazily
+        on first selection and feed the shared per-iteration EMA."""
+        import time as _time
+
         T, nz = self.solver.N + 1, self.solver.nvar
         args = (params, xinit, warmstarts)
-        if self._packed_solve is not None:
-            return unpack_results(self._packed_solve(*args), T, nz)
-        last_exc = None
-        for i, backend in enumerate(self._fleet_backends):
-            try:
-                fn = self._build_packed_solve(backend)
-                out = fn(*args)
-                self._packed_solve = fn
-                self.fleet_backend = backend
-                return unpack_results(out, T, nz)
-            except Exception as exc:  # Mosaic/trace rejection: next backend
-                last_exc = exc
-                if i + 1 < len(self._fleet_backends):
-                    import warnings
+        n = (self.solver.select_iterations() if self._packed_solve
+             else self._fleet_n_full)  # probe the backend at full count first
+        fn = self._packed_solve.get(n) if self._packed_solve else None
+        if fn is not None:
+            first_call = False
+        elif self._packed_solve is not None:
+            fn = self._build_packed_solve(self.fleet_backend, n)
+            self._packed_solve[n] = fn
+            first_call = True
+        else:
+            last_exc = None
+            for i, backend in enumerate(self._fleet_backends):
+                try:
+                    fn = self._build_packed_solve(backend, n)
+                    t0 = _time.perf_counter()
+                    out = fn(*args)
+                    self._packed_solve = {n: fn}
+                    self.fleet_backend = backend
+                    self.solver.note_solve_time(
+                        n, _time.perf_counter() - t0, compile_call=True)
+                    return unpack_results(out, T, nz)
+                except Exception as exc:  # Mosaic/trace rejection: next
+                    last_exc = exc
+                    if i + 1 < len(self._fleet_backends):
+                        import warnings
 
-                    warnings.warn(
-                        f"fleet backend {backend!r} failed at first call "
-                        f"({exc}); falling back to "
-                        f"{self._fleet_backends[i + 1]!r}")
-        raise last_exc
+                        warnings.warn(
+                            f"fleet backend {backend!r} failed at first call "
+                            f"({exc}); falling back to "
+                            f"{self._fleet_backends[i + 1]!r}")
+            raise last_exc
+        t0 = _time.perf_counter()
+        out = fn(*args)
+        self.solver.note_solve_time(n, _time.perf_counter() - t0,
+                                    compile_call=first_call)
+        return unpack_results(out, T, nz)
 
     # ------------------------------------------------------------------
     def update(self, state, data, module_data) -> None:

@@ -220,6 +220,19 @@ class Solver:
                 self.ocp, self.config._replace(n_sqp=n), dtype=self.dtype)
         return self._ladder_fns[n]
 
+    def note_solve_time(self, n: int, elapsed: float,
+                        compile_call: bool) -> None:
+        """Feed a measured solve duration into the per-iteration EMA (shared
+        by every consumer of :meth:`select_iterations` — the default solve
+        and the parallel T-MPC path both learn from whoever solved last)."""
+        self.last_iterations_run = n
+        if compile_call:
+            return
+        per_iter = elapsed / n
+        self._iter_time_ema = (per_iter if self._iter_time_ema <= 0.0
+                               else 0.8 * self._iter_time_ema
+                               + 0.2 * per_iter)
+
     def solve(self) -> int:
         import time as _time
 
@@ -236,14 +249,9 @@ class Solver:
         # round-trip each on tunneled backends)
         self.load_result(fetch_result_single(result))
         elapsed = _time.perf_counter() - t0
-        self.last_iterations_run = n
         if first_call:
             self._timed_variants.add(n)  # compile call: don't poison the EMA
-        else:
-            per_iter = elapsed / n
-            self._iter_time_ema = (per_iter if self._iter_time_ema <= 0.0
-                                   else 0.8 * self._iter_time_ema
-                                   + 0.2 * per_iter)
+        self.note_solve_time(n, elapsed, compile_call=first_call)
         return self._exit_code
 
     def load_result(self, result: SQPResult) -> int:

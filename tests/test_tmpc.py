@@ -439,3 +439,36 @@ def test_topology_fill_vectorized_parity_and_host_budget():
         times.append(_time.perf_counter() - t0)
     med = sorted(times)[len(times) // 2]
     assert med < 5e-3, f"topology fill too slow: {med * 1e3:.2f} ms"
+
+
+def test_tmpc_budget_adaptive_iterations():
+    """The parallel T-MPC solve also degrades its iteration count under tick
+    budget pressure (the reference sets solver_timeout per parallel planner,
+    guidance_constraints.cpp:362-363): a late-started tick selects a reduced
+    ladder variant, still returns a usable command, and solve timings feed
+    the shared per-iteration EMA."""
+    import time as _time
+
+    N, dt = 12, 0.2
+    planner, model, settings = make_tmpc_planner(N=N)
+    solver = planner.solver
+    assert solver._iter_ladder == [6, 3, 1]
+    state = State(model)
+    state.set("v", 0.8)
+    data = make_tmpc_data(settings, state,
+                          [([6.0, 0.6], [0.0, 0.0])], N, dt)
+    planner.on_data_received(data, "reference_path")
+
+    # Normal ticks: full count; the optimizer's timing feeds the EMA
+    out = planner.solve_mpc(state, data)
+    assert out.success
+    assert solver.last_iterations_run == 6
+    out = planner.solve_mpc(state, data)
+    assert solver._iter_time_ema > 0.0, "T-MPC solve did not feed the EMA"
+
+    # Late tick: only ~14 ms of the 50 ms budget left, 4 ms/iter predicted
+    solver._iter_time_ema = 0.004
+    data.planning_start_time = _time.monotonic() - 0.030
+    out = planner.solve_mpc(state, data)
+    assert out.success, "reduced-iteration T-MPC tick must still succeed"
+    assert solver.last_iterations_run < 6

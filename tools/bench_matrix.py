@@ -8,9 +8,10 @@ the five reference workload flavors (SURVEY.md §7 / driver BASELINE configs):
   4. tmpc      — T-MPC++ fleet (the bench.py headline config)
   5. shmpc     — SH-MPC safe horizon (24 scenario halfspaces + slack, m=40)
 
-Each runs a B-plan fleet solve (pallas backend, bench operating point) and
-reports median per-call wall time through the tunnel + success rate. Prints
-one JSON line.
+Each runs a B-plan fleet solve (fused whole-SQP kernel, with runtime
+fallback to the per-iteration pallas backend; override with
+BENCH_MATRIX_BACKEND) and reports median per-call wall time through the
+tunnel + success rate. Prints one JSON line.
 """
 
 import json
@@ -199,6 +200,24 @@ def main():
                     reg_eps=1e-4, regularization="gershgorin",
                     track_best=False)
 
+    backends = ([os.environ["BENCH_MATRIX_BACKEND"]]
+                if os.environ.get("BENCH_MATRIX_BACKEND")
+                else ["fused", "pallas"])
+
+    def build_fleet_with_fallback(ocp, args):
+        last = None
+        for be in backends:
+            try:
+                fleet = make_fleet_sqp_solver(ocp, cfg, dtype=jnp.float32,
+                                              backend=be)
+                out = fleet(*args)
+                float(jnp.sum(out.cost))
+                return fleet, out, be
+            except Exception as exc:
+                log(f"backend {be} failed: {exc}")
+                last = exc
+        raise last
+
     results = {"batch": B, "horizon": N}
 
     cases = [("goal", build_goal), ("contour", build_contour),
@@ -206,12 +225,10 @@ def main():
     for name, builder in cases:
         log(f"--- {name}: build + compile ...")
         ocp, P, x0, z0 = builder(N, B, rng)
-        fleet = make_fleet_sqp_solver(ocp, cfg, dtype=jnp.float32,
-                                      backend="pallas")
         args = (jnp.asarray(P), jnp.asarray(x0), jnp.asarray(z0))
         t_c = time.perf_counter()
-        out = fleet(*args)
-        float(jnp.sum(out.cost))
+        fleet, out, be = build_fleet_with_fallback(ocp, args)
+        results[f"{name}_backend"] = be
         compile_s = time.perf_counter() - t_c
         ts = []
         for i in range(6):
@@ -236,10 +253,8 @@ def main():
     fp = jnp.asarray(params.reshape(B * Pq, *params.shape[2:]), jnp.float32)
     fx = jnp.asarray(np.repeat(xinit, Pq, axis=0), jnp.float32)
     fz = jnp.asarray(z_init.reshape(B * Pq, *z_init.shape[2:]), jnp.float32)
-    fleet = make_fleet_sqp_solver(ocp, cfg, dtype=jnp.float32,
-                                  backend="pallas")
-    out = fleet(fp, fx, fz)
-    float(jnp.sum(out.cost))
+    fleet, out, be = build_fleet_with_fallback(ocp, (fp, fx, fz))
+    results["tmpc_backend"] = be
     ts = []
     for i in range(6):
         t0 = time.perf_counter()
