@@ -220,7 +220,8 @@ class ScenarioOptimizer:
         on_tpu = (jax.devices()[0].platform == "tpu"
                   and solver.dtype == jnp.float32)
         self._fleet_backends = ["fused", "pallas"] if on_tpu else ["xla"]
-        self._packed_solve = None
+        self._packed_solve = None  # n_sqp -> packed fn (lazy, w/ fallback)
+        self.fleet_backend = None
         reg = solver.ocp.registry
         # (n_discs, 24) parameter columns: every disc gets its own polytope
         self.n_discs = int(settings["n_discs"])
