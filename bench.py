@@ -90,6 +90,21 @@ def main():
     params, xinit, z_init, disabled = build_tmpc_fleet(ocp, settings, batch)
     args = tuple(map(jnp.asarray, (params, xinit, z_init, disabled)))
 
+    # Emit the (all -1) skeleton BEFORE the first compile: the remote compile
+    # relay has been observed to wedge indefinitely — the driver records the
+    # LAST emitted line, so even a wedged run leaves a parseable artifact.
+    result = {
+        "metric": "tmpc_plans_per_s_per_chip", "value": -1.0,
+        "unit": "plans/s", "vs_baseline": -1.0, "batch": batch,
+        "n_planners": n_paths + 1, "horizon": N,
+        "p99_small_batch_latency_ms": -1.0, "small_batch_median_ms": -1.0,
+        "on_device_step_ms": -1.0, "transport_rtt_ms": -1.0,
+        "on_device_fleet_step_ms": -1.0, "device_plans_per_s": -1.0,
+        "e2e_tick_median_ms": -1.0, "e2e_tick_p99_ms": -1.0,
+        "success_rate": -1.0, "platform": platform, "backend": "none",
+    }
+    emit(result)
+
     backends = ["fused", "pallas"] if platform == "tpu" else ["auto"]
     step = None
     for bi, backend in enumerate(backends):
@@ -106,27 +121,7 @@ def main():
             if bi + 1 == len(backends):
                 raise
     log(f"fleet backend: {backend}")
-
-    result = {
-        "metric": "tmpc_plans_per_s_per_chip",
-        "value": -1.0,
-        "unit": "plans/s",
-        "vs_baseline": -1.0,
-        "batch": batch,
-        "n_planners": n_paths + 1,
-        "horizon": N,
-        "p99_small_batch_latency_ms": -1.0,
-        "small_batch_median_ms": -1.0,
-        "on_device_step_ms": -1.0,
-        "transport_rtt_ms": -1.0,
-        "on_device_fleet_step_ms": -1.0,
-        "device_plans_per_s": -1.0,
-        "e2e_tick_median_ms": -1.0,
-        "e2e_tick_p99_ms": -1.0,
-        "success_rate": -1.0,
-        "platform": platform,
-        "backend": backend,
-    }
+    result["backend"] = backend
 
     def run(a):
         """Execute one step and force completion (host readback: on the axon

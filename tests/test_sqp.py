@@ -368,3 +368,32 @@ def test_bicycle_configuration_solves():
     for k in range(1, N):
         h = np.asarray(ocp.ineq(jnp.asarray(Z[k]), jnp.asarray(Pj[k])))
         assert h.min() > 1.0 - 1e-6
+
+
+def test_buffered_packed_solve_roundtrip():
+    """make_buffered_packed_solve (one upload + one packed readback per tick)
+    returns bit-identical results to the plain batched solve."""
+    import jax
+
+    from oscar_mpc_planner_mr_modification_tpu.ops.sqp import (
+        make_buffered_packed_solve, make_sqp_solver, unpack_results)
+
+    N = 6
+    ocp, P, x0, z_init = goal_tracking_setup(N=N, n_obstacles=1)
+    cfg = SQPConfig(n_sqp=3, n_qp_iter=8, mu_min=1e-10)
+    raw = make_sqp_solver(ocp, cfg, dtype=jnp.float64)
+    batched = jax.vmap(raw, in_axes=(0, None, 0))
+
+    Pn = 3
+    Pb = np.tile(P[None], (Pn, 1, 1))
+    Pb[1, :, ocp.registry.index("goal_y")] = -1.0
+    zb = np.tile(z_init[None], (Pn, 1, 1))
+
+    ref = batched(jnp.asarray(Pb), jnp.asarray(x0), jnp.asarray(zb))
+    solve = make_buffered_packed_solve(
+        batched, Pn, N, ocp.npar, ocp.nx, ocp.nvar, jnp.float64)
+    out = unpack_results(solve(Pb, x0, zb), N + 1, ocp.nvar)
+    np.testing.assert_array_equal(out.z, np.asarray(ref.z))
+    np.testing.assert_array_equal(out.cost, np.asarray(ref.cost))
+    np.testing.assert_array_equal(out.success, np.asarray(ref.success))
+    np.testing.assert_array_equal(out.exit_code, np.asarray(ref.exit_code))
