@@ -259,6 +259,7 @@ class GlobalGuidance:
         """Candidate generation in C++ (native/prm.cpp); selection, smoothing
         and cross-cycle class bookkeeping stay identical to the Python path."""
         cfg = self.config
+        self._prev_trajectories = self.trajectories  # cycle-to-cycle id source
         self.trajectories = []
         if not self._goals:
             return False
@@ -275,12 +276,19 @@ class GlobalGuidance:
             pass_threshold=cfg.pass_threshold,
             max_paths_enum=cfg.max_paths_to_enumerate,
             n_out=cfg.n_paths)
-        candidates = [(costs[i], paths[i], sigs[i]) for i in range(len(paths))]
+        # Recompute signatures with the CONFIGURED comparator: the native
+        # search returns winding signatures for its internal pre-dedup; under
+        # comparison_function="Homology" those values would be compared
+        # against the H-signature threshold (round-3 finding: every guidance
+        # trajectory got a fresh class id, firing TOPOLOGY_CHANGE every tick).
+        candidates = [(costs[i], paths[i], self._signature(paths[i], obs))
+                      for i in range(len(paths))]
         return self._finalize_candidates(candidates)
 
     def _update_python(self) -> bool:
         cfg = self.config
         T_horizon = cfg.N * cfg.dt
+        self._prev_trajectories = self.trajectories  # cycle-to-cycle id source
         self.trajectories = []
         if not self._goals:
             return False
@@ -360,7 +368,22 @@ class GlobalGuidance:
             prev_sig = self._signature(
                 self._selected_path, self._obstacle_trajs[:, : cfg.N + 1])
 
+        # Cycle-to-cycle id propagation sources: LAST cycle's chosen
+        # trajectories, re-evaluated on the CURRENT obstacle predictions.
+        # They are one control period stale (start ~v*dt behind the new
+        # candidates), so class matching is reliable — matching multi-tick-old
+        # world-frame representatives instead allocated a fresh id nearly
+        # every cycle during robot-robot interactions, firing the
+        # TOPOLOGY_CHANGE communication trigger on every tick (round-3
+        # finding; the reference's guidance_planner likewise propagates
+        # spline ids between consecutive cycles).
+        prev_cycle = [
+            (t.topology_class,
+             self._signature(t.positions, self._obstacle_trajs[:, : cfg.N + 1]))
+            for t in getattr(self, "_prev_trajectories", [])]
+
         chosen: List[GuidanceTrajectory] = []
+        used_ids: set = set()
         for cost, sampled, sig in candidates:
             if any(same_homotopy_class(sig, c.signature,
                                        self._class_threshold)
@@ -372,7 +395,9 @@ class GlobalGuidance:
                 prev_sig is not None
                 and same_homotopy_class(sig, prev_sig,
                                         self._class_threshold))
-            class_id = self._assign_class_id(sig, previously_selected)
+            class_id = self._assign_class_id(sig, previously_selected,
+                                             prev_cycle, used_ids)
+            used_ids.add(class_id)
             chosen.append(GuidanceTrajectory(
                 positions=smoothed, velocities=vel, topology_class=class_id,
                 signature=sig, cost=cost,
@@ -410,11 +435,23 @@ class GlobalGuidance:
             out[:, d] = ((a[seg] * ds + b[seg]) * ds + c[seg]) * ds + dd[seg]
         return out
 
-    def _assign_class_id(self, sig: np.ndarray, previously_selected: bool) -> int:
-        if previously_selected and self._selected_class >= 0:
+    def _assign_class_id(self, sig: np.ndarray, previously_selected: bool,
+                         prev_cycle=(), used_ids=frozenset()) -> int:
+        if (previously_selected and self._selected_class >= 0
+                and self._selected_class not in used_ids):
             return self._selected_class
-        # Match against known class representatives (re-evaluated signatures)
-        for class_id, rep_path in self._known_classes:
+        # Cycle-to-cycle propagation: inherit the id of last cycle's
+        # trajectory in the same class (one-tick staleness)
+        for class_id, rep_sig in prev_cycle:
+            if class_id in used_ids:
+                continue
+            if same_homotopy_class(sig, rep_sig, self._class_threshold):
+                return class_id
+        # Fallback: multi-tick representative store (classes that skipped a
+        # few cycles), newest first
+        for class_id, rep_path in reversed(self._known_classes):
+            if class_id in used_ids:
+                continue
             rep_sig = self._signature(
                 rep_path, self._obstacle_trajs[:, : self.config.N + 1])
             if same_homotopy_class(sig, rep_sig, self._class_threshold):

@@ -528,7 +528,8 @@ def test_desynchronized_multi_episode_experiments(tmp_path):
     assert a1.fsm == PlannerState.GOAL_REACHED
     assert a2.fsm == PlannerState.GOAL_REACHED
 
-    # Event-triggered communication reduction vs broadcast-every-cycle
-    # (the reference's headline 60-80% bandwidth reduction)
+    # Event-triggered communication reduction vs broadcast-every-cycle:
+    # the reference reports 60-80% (README.md:334); with stable cycle-to-cycle
+    # topology-class propagation this scene measures ~85-89%
     reductions = [1.0 - log.communication_rate(ns) for ns in ("r1", "r2")]
-    assert all(r > 0.4 for r in reductions), reductions
+    assert all(r > 0.55 for r in reductions), reductions
