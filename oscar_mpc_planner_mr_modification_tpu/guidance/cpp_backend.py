@@ -27,6 +27,11 @@ def _build() -> bool:
     if _build_failed:
         return False
     try:
+        # Fresh inode: a process may hold the old library mapped; compiling
+        # over the mapped file in place corrupts that mapping, while unlink
+        # leaves it intact and dlopen of the path picks up the new file.
+        if os.path.exists(_LIB_PATH):
+            os.unlink(_LIB_PATH)
         subprocess.run(
             ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-o", _LIB_PATH,
              os.path.join(_NATIVE_DIR, "prm.cpp")],
@@ -49,6 +54,13 @@ def _load() -> Optional[ctypes.CDLL]:
         if not _build():
             return None
         lib = ctypes.CDLL(_LIB_PATH)
+    if not hasattr(lib, "h_signature_batch"):
+        # Stale library from before the native classifier existed: rebuild.
+        if not _build():
+            return None
+        lib = ctypes.CDLL(_LIB_PATH)
+        if not hasattr(lib, "h_signature_batch"):
+            return None
     c_d = ctypes.POINTER(ctypes.c_double)
     lib.prm_search.restype = ctypes.c_int
     lib.prm_search.argtypes = [
@@ -59,6 +71,12 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_double, ctypes.c_double,  # length_weight, pass_threshold
         ctypes.c_int, ctypes.c_int,  # max_paths_enum, n_out
         c_d, c_d, c_d,  # out_paths, out_sigs, out_costs
+    ]
+    lib.h_signature_batch.restype = None
+    lib.h_signature_batch.argtypes = [
+        c_d, ctypes.c_int, ctypes.c_int,  # paths, P, K
+        c_d, ctypes.c_int, ctypes.c_int,  # obs, n_obs, T
+        ctypes.c_double, c_d,  # dt, out
     ]
     _lib = lib
     return _lib
@@ -102,3 +120,28 @@ def prm_search(start, goals, obstacle_trajs, obstacle_radii, dt: float,
         ctypes.c_double(pass_threshold), max_paths_enum, n_out,
         ptr(out_paths), ptr(out_sigs), ptr(out_costs))
     return out_paths[:k], out_sigs[:k, :n_obs], out_costs[:k]
+
+
+def h_signature_batch(paths, obstacle_trajs, dt: float) -> Optional[np.ndarray]:
+    """Native batched H-signature (native/prm.cpp::h_signature_batch).
+
+    paths: (P, K, 2); obstacle_trajs: (n_obs, T, 2). Returns (P, n_obs), or
+    None when the native library is unavailable (callers fall back to the
+    numpy implementation in guidance/homotopy.py)."""
+    lib = _load()
+    if lib is None:
+        return None
+    paths = np.ascontiguousarray(paths, dtype=np.float64)
+    obs = np.ascontiguousarray(obstacle_trajs, dtype=np.float64)
+    P, K = paths.shape[0], paths.shape[1]
+    n_obs, T = obs.shape[0], obs.shape[1]
+    out = np.zeros((P, n_obs), dtype=np.float64)
+    if P == 0 or n_obs == 0:
+        return out
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+    lib.h_signature_batch(ptr(paths), P, K, ptr(obs), n_obs, T,
+                          ctypes.c_double(dt), ptr(out))
+    return out

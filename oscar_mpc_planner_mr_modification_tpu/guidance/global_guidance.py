@@ -19,7 +19,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from .homotopy import (make_comparator, same_homotopy_class,
+from .homotopy import (make_comparators, same_homotopy_class,
                        signature_vector)
 from ..ops.spline_fit import natural_cubic_coeffs
 
@@ -72,7 +72,8 @@ class GlobalGuidance:
         """backend: "python" (portable reference), "cpp" (native PRM via
         ctypes, guidance/cpp_backend.py), or "auto" (cpp when buildable)."""
         self.config = config or GuidanceConfig()
-        self._signature, self._class_threshold = make_comparator(
+        (self._signature, self._signature_batch,
+         self._class_threshold) = make_comparators(
             self.config.comparison_function, self.config.dt,
             self.config.pass_threshold)
         self.backend = backend
@@ -276,14 +277,14 @@ class GlobalGuidance:
             pass_threshold=cfg.pass_threshold,
             max_paths_enum=cfg.max_paths_to_enumerate,
             n_out=cfg.n_paths)
-        # Recompute signatures with the CONFIGURED comparator: the native
-        # search returns winding signatures for its internal pre-dedup; under
-        # comparison_function="Homology" those values would be compared
-        # against the H-signature threshold (round-3 finding: every guidance
-        # trajectory got a fresh class id, firing TOPOLOGY_CHANGE every tick).
-        candidates = [(costs[i], paths[i], self._signature(paths[i], obs))
-                      for i in range(len(paths))]
-        return self._finalize_candidates(candidates)
+        # Signatures are recomputed with the CONFIGURED comparator inside
+        # _finalize_candidates: the native search returns winding signatures
+        # for its internal pre-dedup; under comparison_function="Homology"
+        # those values would be compared against the H-signature threshold
+        # (round-3 finding: every guidance trajectory got a fresh class id,
+        # firing TOPOLOGY_CHANGE every tick).
+        return self._finalize_candidates(
+            [(costs[i], paths[i]) for i in range(len(paths))])
 
     def _update_python(self) -> bool:
         cfg = self.config
@@ -343,30 +344,51 @@ class GlobalGuidance:
         if not paths:
             return False
 
-        # Sample every path on the dt grid, classify, dedupe, cost
+        # Sample every path on the dt grid; classification/dedup/cost ranking
+        # happen batched in _finalize_candidates
         candidates = []
         for path in paths:
             pts = np.array([nodes[i][0] for i in path])
             ts = np.array([nodes[i][1] for i in path])
             sampled = self._resample(pts, ts)
-            sig = self._signature(sampled, self._obstacle_trajs[:, : cfg.N + 1])
             goal_cost = nodes[path[-1]][3]
             length = float(np.sum(np.linalg.norm(np.diff(pts, axis=0), axis=1)))
             cost = goal_cost + cfg.selection_weight_length * length
-            candidates.append((cost, sampled, sig))
+            candidates.append((cost, sampled))
         return self._finalize_candidates(candidates)
 
     def _finalize_candidates(self, candidates) -> bool:
         """Class dedup, smoothing, consistency flags and stable class ids -
-        shared by the Python and native candidate generators."""
-        cfg = self.config
-        candidates = sorted(candidates, key=lambda c: c[0])
+        shared by the Python and native candidate generators.
 
-        # Previously selected path: recompute its signature on current obstacles
-        prev_sig = None
-        if self._selected_path is not None and self._selected_class >= 0:
-            prev_sig = self._signature(
-                self._selected_path, self._obstacle_trajs[:, : cfg.N + 1])
+        ``candidates``: list of ``(cost, sampled_path (N+1, 2))``. ALL
+        per-tick signatures (candidates, the previously selected path, last
+        cycle's representatives) are computed in ONE vectorized batch — the
+        per-path H-signature is ~1 ms of host numpy and this runs inside the
+        runtime tick whose p99 budget is 33 ms."""
+        cfg = self.config
+        obs = self._obstacle_trajs[:, : cfg.N + 1]
+
+        prev_traj_list = list(getattr(self, "_prev_trajectories", []))
+        has_prev_sel = (self._selected_path is not None
+                        and self._selected_class >= 0)
+        stack = [np.asarray(c[1], dtype=float) for c in candidates]
+        stack += [np.asarray(t.positions, dtype=float) for t in prev_traj_list]
+        if has_prev_sel:
+            stack.append(np.asarray(self._selected_path, dtype=float))
+
+        if stack and all(p.shape == stack[0].shape for p in stack):
+            sigs = list(self._signature_batch(np.stack(stack), obs))
+        else:  # mixed-length paths (not produced by the shipped generators)
+            sigs = [self._signature(p, obs) for p in stack]
+
+        n_cand = len(candidates)
+        candidates = sorted(
+            ((c[0], c[1], sigs[i]) for i, c in enumerate(candidates)),
+            key=lambda c: c[0])
+
+        # Previously selected path: signature recomputed on current obstacles
+        prev_sig = sigs[-1] if has_prev_sel else None
 
         # Cycle-to-cycle id propagation sources: LAST cycle's chosen
         # trajectories, re-evaluated on the CURRENT obstacle predictions.
@@ -378,9 +400,8 @@ class GlobalGuidance:
         # finding; the reference's guidance_planner likewise propagates
         # spline ids between consecutive cycles).
         prev_cycle = [
-            (t.topology_class,
-             self._signature(t.positions, self._obstacle_trajs[:, : cfg.N + 1]))
-            for t in getattr(self, "_prev_trajectories", [])]
+            (t.topology_class, sigs[n_cand + i])
+            for i, t in enumerate(prev_traj_list)]
 
         chosen: List[GuidanceTrajectory] = []
         used_ids: set = set()
@@ -476,10 +497,13 @@ class GlobalGuidance:
         if not self.trajectories:
             return TOPOLOGY_NO_MATCH
         n = min(len(path_xy), self.config.N + 1)
-        sig = self._signature(path_xy[:n], self._obstacle_trajs[:, :n])
-        for traj in self.trajectories:
-            tr_sig = self._signature(traj.positions[:n],
-                                     self._obstacle_trajs[:, :n])
+        # One batched signature pass over [query, guidance trajectories]
+        stack = np.stack([np.asarray(path_xy[:n], dtype=float)]
+                         + [np.asarray(t.positions[:n], dtype=float)
+                            for t in self.trajectories])
+        sigs = self._signature_batch(stack, self._obstacle_trajs[:, :n])
+        sig = sigs[0]
+        for traj, tr_sig in zip(self.trajectories, sigs[1:]):
             if same_homotopy_class(sig, tr_sig, self._class_threshold):
                 return traj.topology_class
         return TOPOLOGY_NO_MATCH

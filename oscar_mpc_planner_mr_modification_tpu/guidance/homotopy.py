@@ -44,6 +44,24 @@ def signature_vector(path_xy: np.ndarray, obstacle_trajs: np.ndarray) -> np.ndar
     return np.sum(d, axis=1)
 
 
+def signature_batch(paths_xy: np.ndarray, obstacle_trajs: np.ndarray) -> np.ndarray:
+    """Winding vectors for a BATCH of paths in one vectorized pass.
+
+    paths_xy: (P, T, 2); obstacle_trajs: (n_obs, T, 2). Returns (P, n_obs).
+    The guidance planner classifies every candidate + the previous cycle's
+    representatives each control tick; batching keeps that off the tick's
+    host critical path (p99 latency gate)."""
+    paths_xy = np.asarray(paths_xy, dtype=float)
+    P = paths_xy.shape[0]
+    if len(obstacle_trajs) == 0:
+        return np.zeros((P, 0))
+    rel = paths_xy[:, None, :, :] - obstacle_trajs[None]  # (P, n_obs, T, 2)
+    ang = np.arctan2(rel[..., 1], rel[..., 0])
+    d = np.diff(ang, axis=2)
+    d = np.mod(d + np.pi, 2.0 * np.pi) - np.pi
+    return np.sum(d, axis=2)
+
+
 def same_homotopy_class(sig_a: np.ndarray, sig_b: np.ndarray,
                         threshold: float = np.pi) -> bool:
     """Two trajectories are homotopy-equivalent iff their winding vectors agree to
@@ -70,38 +88,76 @@ def h_signature_vector(path_xy: np.ndarray, obstacle_trajs: np.ndarray,
 
     path_xy: (K, 2); obstacle_trajs: (n_obs, T, 2); both on the same dt grid.
     """
+    return h_signature_batch(np.asarray(path_xy, dtype=float)[None],
+                             obstacle_trajs, dt=dt)[0]
+
+
+def h_signature_batch(paths_xy: np.ndarray, obstacle_trajs: np.ndarray,
+                      dt: float = 1.0) -> np.ndarray:
+    """H-signatures for a BATCH of paths in one vectorized pass.
+
+    paths_xy: (P, K, 2); obstacle_trajs: (n_obs, T, 2). Returns (P, n_obs).
+    Same Biot-Savart closed form as :func:`h_signature_vector` with the
+    obstacle-skeleton geometry computed once and broadcast over paths — the
+    per-tick classification work (candidates + previous-cycle representatives
+    + the unguided winner) is a handful of milliseconds per call unbatched,
+    which is real money against the 33 ms p99 tick gate."""
+    paths_xy = np.asarray(paths_xy, dtype=float)
+    if len(obstacle_trajs) == 0:
+        return np.zeros((paths_xy.shape[0], 0))
+    # Native fast path (ctypes, native/prm.cpp) — the numpy broadcast below
+    # costs ~1.5 ms/call in op overhead on these tiny shapes; identical math,
+    # parity pinned by tests/test_homotopy.py.
+    from . import cpp_backend
+
+    native = cpp_backend.h_signature_batch(paths_xy, obstacle_trajs, dt)
+    if native is not None:
+        return native
+    return h_signature_batch_numpy(paths_xy, obstacle_trajs, dt)
+
+
+def h_signature_batch_numpy(paths_xy: np.ndarray, obstacle_trajs: np.ndarray,
+                            dt: float = 1.0) -> np.ndarray:
+    """Portable numpy implementation of :func:`h_signature_batch` (the
+    fallback when the native library cannot build; also the parity oracle)."""
+    paths_xy = np.asarray(paths_xy, dtype=float)
+    P, K = paths_xy.shape[0], paths_xy.shape[1]
     n_obs = len(obstacle_trajs)
     if n_obs == 0:
-        return np.zeros(0)
-    K = path_xy.shape[0]
+        return np.zeros((P, 0))
     tp = np.arange(K) * dt
-    P = np.concatenate([path_xy, tp[:, None]], axis=1)  # (K, 3)
-    mids = 0.5 * (P[1:] + P[:-1])  # (K-1, 3)
-    dls = P[1:] - P[:-1]
+    pts = np.concatenate(
+        [paths_xy, np.broadcast_to(tp[None, :, None], (P, K, 1))],
+        axis=2)  # (P, K, 3)
+    mids = 0.5 * (pts[:, 1:] + pts[:, :-1])  # (P, K-1, 3)
+    dls = pts[:, 1:] - pts[:, :-1]
     T = obstacle_trajs.shape[1]
     to = np.arange(T) * dt
     t_extend = 1e3 * max(dt * max(K, T), 1.0)
 
-    out = np.zeros(n_obs)
-    for i, otr in enumerate(obstacle_trajs):
-        S = np.concatenate([otr, to[:, None]], axis=1)  # (T, 3)
-        S = np.vstack([S[:1] - [0.0, 0.0, t_extend], S,
-                       S[-1:] + [0.0, 0.0, t_extend]])
-        a, b = S[:-1], S[1:]  # (M, 3) segment endpoints
-        d = b - a
-        L = np.linalg.norm(d, axis=1, keepdims=True)
-        dhat = d / np.maximum(L, 1e-12)
-        r_a = mids[:, None, :] - a[None]  # (K-1, M, 3)
-        r_b = mids[:, None, :] - b[None]
-        cross = np.cross(np.broadcast_to(dhat[None], r_a.shape), r_a)
-        rho2 = np.maximum(np.sum(cross**2, axis=-1), 1e-12)
-        cos_a = (np.sum(dhat[None] * r_a, axis=-1)
-                 / np.maximum(np.linalg.norm(r_a, axis=-1), 1e-12))
-        cos_b = (np.sum(dhat[None] * r_b, axis=-1)
-                 / np.maximum(np.linalg.norm(r_b, axis=-1), 1e-12))
-        B = cross / rho2[..., None] * (cos_a - cos_b)[..., None]
-        out[i] = float(np.sum(B.sum(axis=1) * dls)) / (4.0 * np.pi)
-    return out
+    # Obstacle skeletons, extended to +-inf in time at the endpoints
+    S = np.concatenate(
+        [obstacle_trajs, np.broadcast_to(to[None, :, None], (n_obs, T, 1))],
+        axis=2)  # (n_obs, T, 3)
+    S = np.concatenate([S[:, :1] - [0.0, 0.0, t_extend], S,
+                        S[:, -1:] + [0.0, 0.0, t_extend]], axis=1)
+    a, b = S[:, :-1], S[:, 1:]  # (n_obs, M, 3) segment endpoints
+    d = b - a
+    L = np.linalg.norm(d, axis=-1, keepdims=True)
+    dhat = d / np.maximum(L, 1e-12)  # (n_obs, M, 3)
+
+    r_a = mids[:, :, None, None, :] - a[None, None]  # (P, K-1, n_obs, M, 3)
+    r_b = mids[:, :, None, None, :] - b[None, None]
+    dh = dhat[None, None]  # (1, 1, n_obs, M, 3)
+    cross = np.cross(np.broadcast_to(dh, r_a.shape), r_a)
+    rho2 = np.maximum(np.sum(cross**2, axis=-1), 1e-12)
+    cos_a = (np.sum(dh * r_a, axis=-1)
+             / np.maximum(np.linalg.norm(r_a, axis=-1), 1e-12))
+    cos_b = (np.sum(dh * r_b, axis=-1)
+             / np.maximum(np.linalg.norm(r_b, axis=-1), 1e-12))
+    B = cross / rho2[..., None] * (cos_a - cos_b)[..., None]
+    # Sum the field over skeleton segments, dot with dl, sum along the path
+    return np.einsum("pkoc,pkc->po", B.sum(axis=3), dls) / (4.0 * np.pi)
 
 
 #: Class threshold for H-signatures: homotopic trajectories differ by ~0,
@@ -119,10 +175,23 @@ def make_comparator(comparison_function: str, dt: float,
     :func:`uvd_equivalent`) and is rejected here; the two signature
     comparators agree whenever passing sides are clear-cut and differ only on
     marginal geometry (pinned by tests/test_guidance.py)."""
+    sig, _batch, thr = make_comparators(comparison_function, dt,
+                                        pass_threshold)
+    return sig, thr
+
+
+def make_comparators(comparison_function: str, dt: float,
+                     pass_threshold: float):
+    """:func:`make_comparator` plus the batched variant: returns
+    ``(signature_fn, signature_batch_fn, threshold)`` where
+    ``signature_batch_fn(paths (P, K, 2), obstacle_trajs) -> (P, n_obs)``
+    classifies all paths in one vectorized pass (the per-tick host budget of
+    the runtime planner)."""
     if comparison_function.lower() == "winding":
-        return signature_vector, pass_threshold
+        return signature_vector, signature_batch, pass_threshold
     if comparison_function.lower() in ("homology", "h", "h_signature"):
         return (lambda path, trajs: h_signature_vector(path, trajs, dt=dt),
+                lambda paths, trajs: h_signature_batch(paths, trajs, dt=dt),
                 H_CLASS_THRESHOLD)
     raise ValueError(
         f"unsupported comparison_function {comparison_function!r}; use "

@@ -261,4 +261,96 @@ int prm_search(const double* start,              // x, y
   return emitted;
 }
 
+// H-signature (Bhattacharya homology invariant) for a BATCH of space-time
+// paths — the runtime classifier of guidance/homotopy.py::h_signature_batch
+// (guidance_planner's "Homology" comparison function,
+// config/guidance_planner.yaml:12). Per path x obstacle: line integral of the
+// Biot-Savart field of the obstacle's time-extended skeleton along the path
+// (closed form per straight segment). The control tick classifies ~10 paths
+// against ~4 obstacles every cycle; the numpy version costs ~1.5 ms/call in
+// broadcasting overhead, real money against the 33 ms p99 tick gate.
+//
+// paths: P*K*2 (x, y on a dt grid), obs: n_obs*T*2, out: P*n_obs.
+void h_signature_batch(const double* paths, int P, int K, const double* obs,
+                       int n_obs, int T, double dt, double* out) {
+  const double t_extend =
+      1e3 * std::max(dt * static_cast<double>(std::max(K, T)), 1.0);
+  const int M = T + 1;  // skeleton segments after +-inf time extension
+  // Skeleton endpoints per obstacle: S[0] = first point shifted -t_extend,
+  // S[T+1] = last point shifted +t_extend (time is the 3rd coordinate).
+  std::vector<double> A(n_obs * M * 3), B(n_obs * M * 3), Dh(n_obs * M * 3);
+  for (int o = 0; o < n_obs; ++o) {
+    auto S = [&](int j, double* pt) {  // skeleton vertex j in [0, T+1]
+      if (j == 0) {
+        pt[0] = obs[(o * T + 0) * 2 + 0];
+        pt[1] = obs[(o * T + 0) * 2 + 1];
+        pt[2] = -t_extend;
+      } else if (j == T + 1) {
+        pt[0] = obs[(o * T + T - 1) * 2 + 0];
+        pt[1] = obs[(o * T + T - 1) * 2 + 1];
+        pt[2] = (T - 1) * dt + t_extend;
+      } else {
+        pt[0] = obs[(o * T + j - 1) * 2 + 0];
+        pt[1] = obs[(o * T + j - 1) * 2 + 1];
+        pt[2] = (j - 1) * dt;
+      }
+    };
+    double a[3], b[3];
+    for (int m = 0; m < M; ++m) {
+      S(m, a);
+      S(m + 1, b);
+      double d[3] = {b[0] - a[0], b[1] - a[1], b[2] - a[2]};
+      double L = std::sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2]);
+      L = std::max(L, 1e-12);
+      for (int c = 0; c < 3; ++c) {
+        A[(o * M + m) * 3 + c] = a[c];
+        B[(o * M + m) * 3 + c] = b[c];
+        Dh[(o * M + m) * 3 + c] = d[c] / L;
+      }
+    }
+  }
+
+  for (int p = 0; p < P; ++p) {
+    for (int o = 0; o < n_obs; ++o) out[p * n_obs + o] = 0.0;
+    for (int k = 0; k + 1 < K; ++k) {
+      const double* p0 = paths + (p * K + k) * 2;
+      const double* p1 = paths + (p * K + k + 1) * 2;
+      const double mid[3] = {0.5 * (p0[0] + p1[0]), 0.5 * (p0[1] + p1[1]),
+                             (k + 0.5) * dt};
+      const double dl[3] = {p1[0] - p0[0], p1[1] - p0[1], dt};
+      for (int o = 0; o < n_obs; ++o) {
+        double acc[3] = {0.0, 0.0, 0.0};
+        for (int m = 0; m < M; ++m) {
+          const double* a = &A[(o * M + m) * 3];
+          const double* b = &B[(o * M + m) * 3];
+          const double* dh = &Dh[(o * M + m) * 3];
+          const double ra[3] = {mid[0] - a[0], mid[1] - a[1], mid[2] - a[2]};
+          const double rb[3] = {mid[0] - b[0], mid[1] - b[1], mid[2] - b[2]};
+          const double cr[3] = {dh[1] * ra[2] - dh[2] * ra[1],
+                                dh[2] * ra[0] - dh[0] * ra[2],
+                                dh[0] * ra[1] - dh[1] * ra[0]};
+          const double rho2 = std::max(
+              cr[0] * cr[0] + cr[1] * cr[1] + cr[2] * cr[2], 1e-12);
+          const double na = std::max(
+              std::sqrt(ra[0] * ra[0] + ra[1] * ra[1] + ra[2] * ra[2]), 1e-12);
+          const double nb = std::max(
+              std::sqrt(rb[0] * rb[0] + rb[1] * rb[1] + rb[2] * rb[2]), 1e-12);
+          const double cos_a =
+              (dh[0] * ra[0] + dh[1] * ra[1] + dh[2] * ra[2]) / na;
+          const double cos_b =
+              (dh[0] * rb[0] + dh[1] * rb[1] + dh[2] * rb[2]) / nb;
+          const double s = (cos_a - cos_b) / rho2;
+          acc[0] += cr[0] * s;
+          acc[1] += cr[1] * s;
+          acc[2] += cr[2] * s;
+        }
+        out[p * n_obs + o] +=
+            acc[0] * dl[0] + acc[1] * dl[1] + acc[2] * dl[2];
+      }
+    }
+    for (int o = 0; o < n_obs; ++o)
+      out[p * n_obs + o] /= 4.0 * M_PI;
+  }
+}
+
 }  // extern "C"

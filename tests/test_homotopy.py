@@ -142,3 +142,49 @@ def test_global_guidance_homology_mode_finds_distinct_classes():
         for j in range(i + 1, len(sigs)):
             assert not same_homotopy_class(sigs[i], sigs[j],
                                            H_CLASS_THRESHOLD)
+
+
+def test_batched_signatures_match_per_path():
+    """The vectorized batch comparators (the runtime tick's host hot path)
+    must reproduce the per-path functions bit-for-bit-close."""
+    from oscar_mpc_planner_mr_modification_tpu.guidance.homotopy import (
+        h_signature_batch, signature_batch)
+
+    rng = np.random.default_rng(7)
+    K, n_obs, P = 21, 4, 6
+    paths = np.cumsum(rng.normal(0.2, 0.3, (P, K, 2)), axis=1)
+    obs = np.cumsum(rng.normal(0.0, 0.25, (n_obs, K, 2)), axis=1) + np.array(
+        [3.0, 0.0])
+
+    hb = h_signature_batch(paths, obs, dt=0.2)
+    wb = signature_batch(paths, obs)
+    assert hb.shape == (P, n_obs) and wb.shape == (P, n_obs)
+    for p in range(P):
+        np.testing.assert_allclose(
+            hb[p], h_signature_vector(paths[p], obs, dt=0.2), atol=1e-10)
+        np.testing.assert_allclose(
+            wb[p], signature_vector(paths[p], obs), atol=1e-12)
+
+    # Empty-obstacle edge: (P, 0) without error
+    assert h_signature_batch(paths, np.zeros((0, K, 2)), dt=0.2).shape == (P, 0)
+    assert signature_batch(paths, np.zeros((0, K, 2))).shape == (P, 0)
+
+
+def test_native_h_signature_matches_numpy():
+    """The native classifier (native/prm.cpp::h_signature_batch) must match
+    the numpy oracle; skipped where the native library cannot build."""
+    from oscar_mpc_planner_mr_modification_tpu.guidance import cpp_backend
+    from oscar_mpc_planner_mr_modification_tpu.guidance.homotopy import (
+        h_signature_batch_numpy)
+
+    if not cpp_backend.available():
+        pytest.skip("native guidance library unavailable")
+    rng = np.random.default_rng(11)
+    K, T, n_obs, P = 21, 19, 5, 7  # path and obstacle grids of unequal length
+    paths = np.cumsum(rng.normal(0.25, 0.3, (P, K, 2)), axis=1)
+    obs = np.cumsum(rng.normal(0.0, 0.25, (n_obs, T, 2)), axis=1) + np.array(
+        [4.0, 0.0])
+    native = cpp_backend.h_signature_batch(paths, obs, dt=0.2)
+    oracle = h_signature_batch_numpy(paths, obs, dt=0.2)
+    assert native is not None
+    np.testing.assert_allclose(native, oracle, atol=1e-10)
