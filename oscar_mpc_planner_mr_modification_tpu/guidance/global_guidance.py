@@ -118,30 +118,34 @@ class GlobalGuidance:
         the path velocity to the horizon end, grid n_long x n_lat goals orthogonal
         to the path with a center-line bias."""
         cfg = self.config
-        final_s = s_start
-        for _ in range(1, cfg.N):
-            v = (path_velocity(final_s) if path_velocity is not None
-                 else reference_velocity)
-            final_s += v * cfg.dt
+        if path_velocity is None:
+            final_s = s_start + reference_velocity * cfg.dt * (cfg.N - 1)
+        else:
+            final_s = s_start
+            for _ in range(1, cfg.N):
+                final_s += path_velocity(final_s) * cfg.dt
         n_long, n_lat = cfg.longitudinal_goals, cfg.vertical_goals
         assert n_lat % 2 == 1, "Number of lateral grid points should be odd!"
         assert n_long >= 2, "At least two longitudinal goals required"
         middle_lat = (n_lat - 1) // 2
         s_long = np.linspace(s_start, final_s, n_long)
         long_best = s_long[-1]
+        # One vectorized spline pass for all longitudinal stations
+        points = path.at(s_long)  # (n_long, 2)
+        tangents = path.deriv(s_long)
+        tangents = tangents / (
+            np.linalg.norm(tangents, axis=1, keepdims=True) + 1e-12)
+        normals = np.stack([tangents[:, 1], -tangents[:, 0]], axis=1)
+        dist_lat = np.linspace(-width_left, width_right, n_lat)
+        dist_lat[middle_lat] = 0.0
         goals: List[Goal] = []
         for i, s in enumerate(s_long):
             long_cost = abs(s - long_best)
-            point = path.at(s)
-            tangent = path.deriv(s)
-            tangent = tangent / (np.linalg.norm(tangent) + 1e-12)
-            normal = np.array([tangent[1], -tangent[0]])
-            dist_lat = np.linspace(-width_left, width_right, n_lat)
-            dist_lat[middle_lat] = 0.0
             for j, d in enumerate(dist_lat):
                 if i == 0 and j != middle_lat:
                     continue
-                goals.append(Goal(point + normal * d, long_cost + abs(d)))
+                goals.append(Goal(points[i] + normals[i] * d,
+                                  long_cost + abs(d)))
         self._goals = goals
 
     # -- collision helpers -------------------------------------------------
@@ -404,14 +408,13 @@ class GlobalGuidance:
             for i, t in enumerate(prev_traj_list)]
 
         chosen: List[GuidanceTrajectory] = []
+        chosen_raw: List[np.ndarray] = []
         used_ids: set = set()
         for cost, sampled, sig in candidates:
             if any(same_homotopy_class(sig, c.signature,
                                        self._class_threshold)
                    for c in chosen):
                 continue
-            smoothed = self._smooth(sampled)
-            vel = np.gradient(smoothed, cfg.dt, axis=0)
             previously_selected = (
                 prev_sig is not None
                 and same_homotopy_class(sig, prev_sig,
@@ -419,13 +422,21 @@ class GlobalGuidance:
             class_id = self._assign_class_id(sig, previously_selected,
                                              prev_cycle, used_ids)
             used_ids.add(class_id)
+            chosen_raw.append(np.asarray(sampled, dtype=float))
             chosen.append(GuidanceTrajectory(
-                positions=smoothed, velocities=vel, topology_class=class_id,
+                positions=None, velocities=None, topology_class=class_id,
                 signature=sig, cost=cost,
                 previously_selected=previously_selected,
                 color=len(chosen)))
             if len(chosen) >= cfg.n_paths:
                 break
+
+        # Smooth all selected trajectories in one batched fit
+        if chosen:
+            smoothed = self._smooth_batch(np.stack(chosen_raw))
+            vels = np.gradient(smoothed, cfg.dt, axis=1)
+            for t, p, v in zip(chosen, smoothed, vels):
+                t.positions, t.velocities = p, v
 
         # Previously-selected class first (guidance_planner orders by selection)
         chosen.sort(key=lambda t: (not t.previously_selected, t.cost))
@@ -442,18 +453,24 @@ class GlobalGuidance:
     def _smooth(self, sampled: np.ndarray) -> np.ndarray:
         """Cubic-spline smoothing through a subset of knots (the guidance
         planner's spline optimization stage, simplified)."""
+        return self._smooth_batch(np.asarray(sampled, dtype=float)[None])[0]
+
+    def _smooth_batch(self, sampled: np.ndarray) -> np.ndarray:
+        """:meth:`_smooth` for a (P, N+1, 2) stack in one tridiagonal solve
+        (every selected trajectory is smoothed each control tick)."""
         cfg = self.config
         t_grid = np.arange(cfg.N + 1) * cfg.dt
-        n_knots = min(8, len(sampled))
+        n_knots = min(8, sampled.shape[1])
         knot_idx = np.unique(np.linspace(0, cfg.N, n_knots).astype(int))
         tk = t_grid[knot_idx]
-        out = np.zeros_like(sampled)
-        for d in range(2):
-            a, b, c, dd = natural_cubic_coeffs(tk, sampled[knot_idx, d])
-            seg = np.clip(np.searchsorted(tk, t_grid, side="right") - 1, 0,
-                          len(a) - 1)
-            ds = t_grid - tk[seg]
-            out[:, d] = ((a[seg] * ds + b[seg]) * ds + c[seg]) * ds + dd[seg]
+        # (n_knots, P, 2) so the knot axis leads for the batched cubic fit
+        y = sampled[:, knot_idx].transpose(1, 0, 2)
+        a, b, c, dd = natural_cubic_coeffs(tk, y)  # each (n_seg, P, 2)
+        seg = np.clip(np.searchsorted(tk, t_grid, side="right") - 1, 0,
+                      len(a) - 1)
+        ds = (t_grid - tk[seg])[:, None, None]
+        out = ((a[seg] * ds + b[seg]) * ds + c[seg]) * ds + dd[seg]
+        out = out.transpose(1, 0, 2)  # back to (P, N+1, 2)
         return out
 
     def _assign_class_id(self, sig: np.ndarray, previously_selected: bool,

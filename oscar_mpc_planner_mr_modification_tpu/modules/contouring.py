@@ -127,7 +127,14 @@ class ContouringModule(ObjectiveModule):
 
     def update(self, state, data, module_data) -> None:
         pos = np.array([state.get("x"), state.get("y")])
-        closest_s = self.spline.closest_s(pos)
+        # Local search around the propagated progress state (the reference
+        # searches from the current segment, contouring.cpp:52-94); the
+        # full-path pass runs on the first cycle / after resets, and as the
+        # automatic fallback when the local window doesn't bracket a minimum.
+        s_hint = None
+        if state.has("spline") and self.closest_segment >= 0:
+            s_hint = float(state.get("spline"))
+        closest_s = self.spline.closest_s(pos, s_hint=s_hint)
         self.closest_segment = self.spline.segment_index(closest_s)
         state.set("spline", closest_s)  # initialize the progress state
         if module_data.path is None:
@@ -226,4 +233,4 @@ class ContouringModule(ObjectiveModule):
 
     def reset(self) -> None:
         self.spline = None
-        self.closest_segment = 0
+        self.closest_segment = -1  # force a full-path closest-s search

@@ -21,6 +21,10 @@ def natural_cubic_coeffs(t: np.ndarray, y: np.ndarray):
 
     Segment i covers [t_i, t_{i+1}] with value
     ``a_i (t-t_i)^3 + b_i (t-t_i)^2 + c_i (t-t_i) + d_i``.
+
+    ``y`` may carry trailing batch dimensions ``(n, ...)`` — one tridiagonal
+    solve fits all columns at once (the guidance smoother fits x/y for every
+    selected trajectory each control tick).
     """
     t = np.asarray(t, dtype=float)
     y = np.asarray(y, dtype=float)
@@ -28,17 +32,18 @@ def natural_cubic_coeffs(t: np.ndarray, y: np.ndarray):
     if n < 2:
         raise ValueError("need at least two points")
     h = np.diff(t)
+    hb = h.reshape((n - 1,) + (1,) * (y.ndim - 1))
     if n == 2:
         # Linear fallback
-        a = np.zeros(1)
-        b = np.zeros(1)
-        c = np.array([(y[1] - y[0]) / h[0]])
-        d = np.array([y[0]])
+        a = np.zeros_like(y[:1])
+        b = np.zeros_like(y[:1])
+        c = (y[1:] - y[:1]) / hb
+        d = y[:1].copy()
         return a, b, c, d
 
     # Solve for second derivatives M (natural: M_0 = M_{n-1} = 0)
-    rhs = np.zeros(n)
-    rhs[1:-1] = 6.0 * ((y[2:] - y[1:-1]) / h[1:] - (y[1:-1] - y[:-2]) / h[:-1])
+    rhs = np.zeros_like(y)
+    rhs[1:-1] = 6.0 * ((y[2:] - y[1:-1]) / hb[1:] - (y[1:-1] - y[:-2]) / hb[:-1])
     diag = np.ones(n)
     lower = np.zeros(n - 1)
     upper = np.zeros(n - 1)
@@ -49,19 +54,19 @@ def natural_cubic_coeffs(t: np.ndarray, y: np.ndarray):
     upper[0] = 0.0
     M = _solve_tridiag(lower, diag, upper, rhs)
 
-    a = (M[1:] - M[:-1]) / (6.0 * h)
+    a = (M[1:] - M[:-1]) / (6.0 * hb)
     b = M[:-1] / 2.0
-    c = (y[1:] - y[:-1]) / h - h * (2.0 * M[:-1] + M[1:]) / 6.0
+    c = (y[1:] - y[:-1]) / hb - hb * (2.0 * M[:-1] + M[1:]) / 6.0
     d = y[:-1].copy()
     return a, b, c, d
 
 
 def _solve_tridiag(lower, diag, upper, rhs):
     """Thomas algorithm. lower[i] multiplies x[i] in row i+1; upper[i] multiplies
-    x[i+1] in row i."""
+    x[i+1] in row i. ``rhs`` may carry trailing batch dimensions."""
     n = len(diag)
     cp = np.zeros(n - 1)
-    dp = np.zeros(n)
+    dp = np.zeros_like(rhs)
     cp[0] = upper[0] / diag[0]
     dp[0] = rhs[0] / diag[0]
     for i in range(1, n):
@@ -69,7 +74,7 @@ def _solve_tridiag(lower, diag, upper, rhs):
         if i < n - 1:
             cp[i] = upper[i] / m
         dp[i] = (rhs[i] - lower[i - 1] * dp[i - 1]) / m
-    x = np.zeros(n)
+    x = np.zeros_like(rhs)
     x[-1] = dp[-1]
     for i in range(n - 2, -1, -1):
         x[i] = dp[i] - cp[i] * x[i + 1]
@@ -138,19 +143,43 @@ class CubicSpline2D:
     def deriv(self, s):
         return np.stack([self.x.deriv(s), self.y.deriv(s)], axis=-1)
 
-    def closest_s(self, point: np.ndarray, n_samples: int = 400) -> float:
+    def closest_s(self, point: np.ndarray, n_samples: int = 400,
+                  s_hint: float = None, hint_window: float = 4.0) -> float:
         """Closest path parameter to a 2D point: coarse sampling + two
         vectorized fine-grid passes (mirrors the reference's closest-segment
         search, contouring.cpp:52-94; the earlier 30-step scalar ternary
         refine was a measured host hot spot of the real-time tick — two
         64-point grid passes reach ~0.1 mm on typical paths with 2 vector
-        evaluations instead of 60 scalar ones)."""
+        evaluations instead of 60 scalar ones).
+
+        ``s_hint`` restricts the coarse pass to ``[s_hint - hint_window,
+        s_hint + hint_window]`` — the reference likewise searches locally from
+        the current segment each cycle. If the local minimum lands on an
+        interior window edge (the true minimum may lie outside), the search
+        falls back to the full-path pass."""
+        if s_hint is not None:
+            lo_w = max(0.0, float(s_hint) - hint_window)
+            hi_w = min(self.length, float(s_hint) + hint_window)
+            if hi_w > lo_w:
+                s_grid = np.linspace(lo_w, hi_w, 96)
+                pts = self.at(s_grid)
+                d2 = np.sum((pts - point[None, :]) ** 2, axis=1)
+                i = int(np.argmin(d2))
+                on_lo_edge = i == 0 and lo_w > 0.0
+                on_hi_edge = i == 95 and hi_w < self.length
+                if not (on_lo_edge or on_hi_edge):
+                    lo = s_grid[max(i - 1, 0)]
+                    hi = s_grid[min(i + 1, 95)]
+                    return self._refine_closest(point, lo, hi)
         s_grid = np.linspace(0.0, self.length, n_samples)
         pts = self.at(s_grid)
         d2 = np.sum((pts - point[None, :]) ** 2, axis=1)
         i = int(np.argmin(d2))
         lo = s_grid[max(i - 1, 0)]
         hi = s_grid[min(i + 1, n_samples - 1)]
+        return self._refine_closest(point, lo, hi)
+
+    def _refine_closest(self, point: np.ndarray, lo: float, hi: float) -> float:
         for _ in range(2):
             s_fine = np.linspace(lo, hi, 64)
             pts = self.at(s_fine)

@@ -187,11 +187,19 @@ class TMPCOptimizer:
         n_steps = N + 1
         trajs, radii = [], []
         for obs in data.dynamic_obstacles:
-            mode = obs.prediction.modes[0] if not obs.prediction.empty() else []
-            pts = [obs.position] + [s.position for s in mode]
-            while len(pts) < n_steps:
-                pts.append(pts[-1])
-            trajs.append(np.asarray(pts[:n_steps]))
+            if obs.prediction.empty():
+                traj = np.broadcast_to(np.asarray(obs.position, dtype=float),
+                                       (n_steps, 2))
+            else:
+                mp = obs.prediction.mode_positions(0)
+                traj = np.concatenate(
+                    [np.asarray(obs.position, dtype=float)[None],
+                     mp])[:n_steps]
+                if len(traj) < n_steps:
+                    traj = np.concatenate([
+                        traj, np.broadcast_to(traj[-1],
+                                              (n_steps - len(traj), 2))])
+            trajs.append(traj)
             radii.append(obs.radius + self.robot_radius)
         self.global_guidance.load_obstacles(
             np.asarray(trajs) if trajs else np.zeros((0, n_steps, 2)),

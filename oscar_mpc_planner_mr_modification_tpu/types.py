@@ -78,6 +78,21 @@ class Prediction:
     def empty(self) -> bool:
         return len(self.modes) == 0 or len(self.modes[0]) == 0
 
+    def mode_positions(self, mode_idx: int = 0) -> np.ndarray:
+        """(L, 2) positions of one mode as an array, cached per instance.
+
+        Several runtime consumers (guidance obstacle loading, parameter
+        fills) need the stacked positions every control tick; predictions
+        are rebuilt each cycle so a per-instance cache never goes stale
+        mid-tick while the list-of-steps stays the mutation surface."""
+        cache = self.__dict__.setdefault("_pos_cache", {})
+        mode = self.modes[mode_idx]
+        arr = cache.get(mode_idx)
+        if arr is None or len(arr) != len(mode):
+            arr = np.asarray([s.position for s in mode], dtype=float)
+            cache[mode_idx] = arr
+        return arr
+
 
 class ObstacleType(enum.Enum):
     STATIC = 0

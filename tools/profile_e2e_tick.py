@@ -192,7 +192,7 @@ def main_host(acc):
         if step_i == 0:
             planner.on_data_received(data, "reference_path")
         acc["dev"] = 0.0
-        if step_i == 4:
+        if step_i == 4 and os.environ.get("PROFILE"):
             pr.enable()
         t0 = time.perf_counter()
         out = planner.solve_mpc(state, data)
@@ -211,10 +211,11 @@ def main_host(acc):
     h = np.asarray(hosts) * 1e3
     print(f"HOST-ONLY per tick: median {np.median(h):.2f} ms  "
           f"p90 {np.percentile(h, 90):.2f}  max {h.max():.2f}")
-    s = io.StringIO()
-    ps = pstats.Stats(pr, stream=s).sort_stats("cumulative")
-    ps.print_stats(60)
-    print(s.getvalue())
+    if os.environ.get("PROFILE"):
+        s = io.StringIO()
+        ps = pstats.Stats(pr, stream=s).sort_stats("cumulative")
+        ps.print_stats(60)
+        print(s.getvalue())
 
 
 if __name__ == "__main__" and os.environ.get("HOST_ONLY"):
