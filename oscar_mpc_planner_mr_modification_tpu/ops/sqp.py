@@ -60,6 +60,15 @@ class SQPConfig(NamedTuple):
     # nonconvex problems); False = return the last iterate (acados FIXED_STEP
     # semantics exactly) and skip the per-iteration merit evaluation.
     track_best: bool = True
+    # Inexact-SQP iteration schedule: ((n_sqp_a, n_qp_a), (n_sqp_b, n_qp_b),
+    # ...) phases overriding (n_sqp, n_qp_iter) when non-empty. Early SQP
+    # iterations are solved to loose QP tolerance, late ones tight —
+    # measured on the cold-start T-MPC fleet (tools/exp_iter_schedule.py):
+    # ((4, 4), (4, 8)) reaches success 0.942 vs 0.912 for the uniform 10x8
+    # baseline at ~30% less device time (same res_eq success gate). The
+    # classic inexact-SQP result: far from the solution the QP only needs to
+    # produce a descent direction.
+    qp_iter_schedule: tuple = ()
 
 
 class SQPResult(NamedTuple):
@@ -325,9 +334,9 @@ def _make_machinery(ocp, config: SQPConfig, dtype):
         return QPData(H=H, g=g, A=A, B=B, c=c, D=D, e=e, row_mask=row_mask,
                       r0=xinit - Z[0, nu:])
 
-    def sqp_iteration(Z, P, xinit):
+    def sqp_iteration(Z, P, xinit, n_iters=config.n_qp_iter):
         qp = build_qp(Z, P, xinit)
-        sol = solve_qp(qp, nu=nu, n_iters=config.n_qp_iter, mu_min=config.mu_min,
+        sol = solve_qp(qp, nu=nu, n_iters=n_iters, mu_min=config.mu_min,
                        w_max=config.w_max)
         Z_new = Z + sol.z
         return Z_new, sol
@@ -338,6 +347,33 @@ def _make_machinery(ocp, config: SQPConfig, dtype):
         build_qp=build_qp, sqp_iteration=sqp_iteration, dyn_lin=dyn_lin,
         total_cost=total_cost, row_mask=row_mask, stage_mask=stage_mask,
         row_meta=row_meta, nu=nu, nvar=nvar, N=N)
+
+
+def _phases_of(config: SQPConfig):
+    """((n_sqp, n_qp_iter), ...) — the inexact-SQP schedule, defaulting to one
+    uniform phase (see SQPConfig.qp_iter_schedule)."""
+    return (tuple((int(n), int(q)) for n, q in config.qp_iter_schedule)
+            or ((config.n_sqp, config.n_qp_iter),))
+
+
+def scale_iterations(config: SQPConfig, n: int) -> SQPConfig:
+    """Config limited to ``n`` total SQP iterations (the budget-adaptive
+    ladder, Solver.select_iterations). Plain configs just replace ``n_sqp``;
+    scheduled configs drop iterations from the FRONT (loose) phases first —
+    the tight tail is what converges the iterate."""
+    if not config.qp_iter_schedule:
+        return config._replace(n_sqp=n)
+    phases = list(_phases_of(config))
+    drop = sum(p[0] for p in phases) - n
+    out = []
+    for n_p, q_p in phases:
+        d = min(max(drop, 0), n_p)
+        drop -= d
+        if n_p - d > 0:
+            out.append((n_p - d, q_p))
+    if not out:  # n larger than the schedule total, or everything dropped
+        out = [(max(n, 1), phases[-1][1])]
+    return config._replace(n_sqp=n, qp_iter_schedule=tuple(out))
 
 
 def make_sqp_solver(ocp, config: SQPConfig = SQPConfig(), dtype=jnp.float32):
@@ -382,26 +418,31 @@ def make_sqp_solver(ocp, config: SQPConfig = SQPConfig(), dtype=jnp.float32):
         Z0 = z_init.astype(dtype)
         xinit = xinit.astype(dtype)
 
-        def body(carry, _):
-            Z, best_Z, best_merit = carry
-            Z_new, sol = sqp_iteration(Z, P, xinit)
-            # Guard: a NaN step (failed QP) keeps the previous iterate
-            bad = jnp.any(jnp.isnan(Z_new))
-            Z_new = jnp.where(bad, Z, Z_new)
-            if not config.track_best:
-                return (Z_new, Z_new, best_merit), (sol.comp, sol.eq_res)
-            # Best-iterate tracking: full-step SQP (acados FIXED_STEP) can cycle
-            # on nonconvex problems; keep the best-merit iterate so extra
-            # iterations are never worse.
-            merit, _, _, _ = merit_of(Z_new, P, xinit)
-            better = merit < best_merit
-            best_Z = jnp.where(better, Z_new, best_Z)
-            best_merit = jnp.where(better, merit, best_merit)
-            return (Z_new, best_Z, best_merit), (sol.comp, sol.eq_res)
+        def make_body(n_iters):
+            def body(carry, _):
+                Z, best_Z, best_merit = carry
+                Z_new, sol = sqp_iteration(Z, P, xinit, n_iters)
+                # Guard: a NaN step (failed QP) keeps the previous iterate
+                bad = jnp.any(jnp.isnan(Z_new))
+                Z_new = jnp.where(bad, Z, Z_new)
+                if not config.track_best:
+                    return (Z_new, Z_new, best_merit), (sol.comp, sol.eq_res)
+                # Best-iterate tracking: full-step SQP (acados FIXED_STEP) can
+                # cycle on nonconvex problems; keep the best-merit iterate so
+                # extra iterations are never worse.
+                merit, _, _, _ = merit_of(Z_new, P, xinit)
+                better = merit < best_merit
+                best_Z = jnp.where(better, Z_new, best_Z)
+                best_merit = jnp.where(better, merit, best_merit)
+                return (Z_new, best_Z, best_merit), (sol.comp, sol.eq_res)
+            return body
 
         merit0, _, _, _ = merit_of(Z0, P, xinit)
-        (Z_last, best_Z, _), (comps, eqs) = jax.lax.scan(
-            body, (Z0, Z0, merit0), None, length=config.n_sqp)
+        carry = (Z0, Z0, merit0)
+        for n_sqp_p, n_qp_p in _phases_of(config):
+            carry, (comps, eqs) = jax.lax.scan(
+                make_body(n_qp_p), carry, None, length=n_sqp_p)
+        (Z_last, best_Z, _) = carry
         Z = best_Z
 
         merit, cost, eq_res, finite = merit_of(Z, P, xinit)
@@ -468,14 +509,18 @@ def make_fleet_sqp_solver(ocp, config: SQPConfig = SQPConfig(),
     total_cost = mach.total_cost
 
     dual_warm = backend == "pallas" and config.n_qp_iter_warm > 0
+    if dual_warm and config.qp_iter_schedule:
+        raise ValueError(
+            "qp_iter_schedule and n_qp_iter_warm are mutually exclusive "
+            "(the warm path already has its own per-iteration budget)")
     if backend == "pallas":
         from .qp_pallas import solve_qp_batched, solve_qp_batched_duals
 
-        def qp_solve_batch(qp, lam=None):
+        def qp_solve_batch(qp, lam=None, n_iters=config.n_qp_iter):
             if not dual_warm:
                 dz = solve_qp_batched(
                     qp.H, qp.g, qp.A, qp.B, qp.c, qp.D, qp.e,
-                    mach.stage_mask, qp.r0, nu=nu, n_iters=config.n_qp_iter,
+                    mach.stage_mask, qp.r0, nu=nu, n_iters=n_iters,
                     mu_min=config.mu_min, w_max=config.w_max,
                     interpret=interpret, row_meta=mach.row_meta)
                 return dz, None
@@ -486,9 +531,9 @@ def make_fleet_sqp_solver(ocp, config: SQPConfig = SQPConfig(),
                 w_max=config.w_max, interpret=interpret,
                 row_meta=mach.row_meta)
     else:
-        def qp_solve_batch(qp, lam=None):
+        def qp_solve_batch(qp, lam=None, n_iters=config.n_qp_iter):
             sol = jax.vmap(lambda q: solve_qp(
-                q, nu=nu, n_iters=config.n_qp_iter, mu_min=config.mu_min,
+                q, nu=nu, n_iters=n_iters, mu_min=config.mu_min,
                 w_max=config.w_max))(qp)
             return sol.z, None
 
@@ -505,9 +550,10 @@ def make_fleet_sqp_solver(ocp, config: SQPConfig = SQPConfig(),
                           jnp.inf)
         return merit, cost, eq_res, finite
 
-    def iteration(Z, best_Z, best_merit, P, xinit_, lam=None):
+    def iteration(Z, best_Z, best_merit, P, xinit_, lam=None,
+                  n_iters=config.n_qp_iter):
         qp = build_qp_v(Z, P, xinit_)
-        dz, lam_new = qp_solve_batch(qp, lam)
+        dz, lam_new = qp_solve_batch(qp, lam, n_iters)
         Z_new = Z + dz
         bad = jnp.any(jnp.isnan(Z_new), axis=(1, 2), keepdims=True)
         Z_new = jnp.where(bad, Z, Z_new)
@@ -536,8 +582,10 @@ def make_fleet_sqp_solver(ocp, config: SQPConfig = SQPConfig(),
         # CPU-suite path: XLA:CPU compile time explodes on n_sqp unrolled
         # copies of the interpreted kernel inside one jitted scan, so run a
         # host loop over a once-jitted single iteration (same shipped code
-        # path; compile cost paid once).
-        iteration_j = jax.jit(iteration)
+        # path; compile cost paid once per distinct QP-iteration count).
+        iteration_j = {
+            n_qp: jax.jit(partial(iteration, n_iters=n_qp))
+            for _, n_qp in _phases_of(config)}
         finalize_j = jax.jit(finalize)
 
         def solve(all_params, xinit, z_init):
@@ -548,10 +596,11 @@ def make_fleet_sqp_solver(ocp, config: SQPConfig = SQPConfig(),
             best_merit, _, _, _ = merit_of(Z, P, xinit_)
             best_Z = Z
             lam = None
-            for i in range(config.n_sqp):
-                Z, best_Z, best_merit, lam_new = iteration_j(
-                    Z, best_Z, best_merit, P, xinit_, lam)
-                lam = lam_new if dual_warm else None
+            for n_sqp_p, n_qp_p in _phases_of(config):
+                for _ in range(n_sqp_p):
+                    Z, best_Z, best_merit, lam_new = iteration_j[n_qp_p](
+                        Z, best_Z, best_merit, P, xinit_, lam)
+                    lam = lam_new if dual_warm else None
             return finalize_j(best_Z, P, xinit_)
 
         return solve
@@ -582,14 +631,19 @@ def make_fleet_sqp_solver(ocp, config: SQPConfig = SQPConfig(),
                 length=config.n_sqp - 1)
             return finalize(Z, P, xinit_)
 
-        def body(carry, _):
-            Z, best_Z, best_merit = carry
-            Z_new, best_Z, best_merit, _ = iteration(Z, best_Z, best_merit,
-                                                     P, xinit_)
-            return (Z_new, best_Z, best_merit), None
+        def make_body(n_qp):
+            def body(carry, _):
+                Z, best_Z, best_merit = carry
+                Z_new, best_Z, best_merit, _ = iteration(
+                    Z, best_Z, best_merit, P, xinit_, n_iters=n_qp)
+                return (Z_new, best_Z, best_merit), None
+            return body
 
-        (Z_last, Z, _), _ = jax.lax.scan(
-            body, (Z0, Z0, merit0), None, length=config.n_sqp)
+        carry = (Z0, Z0, merit0)
+        for n_sqp_p, n_qp_p in _phases_of(config):
+            carry, _ = jax.lax.scan(
+                make_body(n_qp_p), carry, None, length=n_sqp_p)
+        (Z_last, Z, _) = carry
 
         return finalize(Z, P, xinit_)
 
@@ -626,10 +680,11 @@ def _make_lane_fleet_solver(ocp, config: SQPConfig, dtype, interpret):
         jax.ShapeDtypeStruct((N + 1, nvar, 2), dtype),
         jax.ShapeDtypeStruct((ocp.nx, 2), dtype))
 
-    def iteration(Z, best_Z, best_merit, P_cols, x_cols):
+    def iteration(Z, best_Z, best_merit, P_cols, x_cols,
+                  n_iters=config.n_qp_iter):
         qp = lin(P_cols, Z, x_cols)
         dz = solve_qp_lanes(
-            qp, mach.stage_mask, nu=nu, n_iters=config.n_qp_iter,
+            qp, mach.stage_mask, nu=nu, n_iters=n_iters,
             mu_min=config.mu_min, w_max=config.w_max, interpret=interpret,
             row_meta=mach.row_meta)
         Z_new = Z + dz
@@ -662,16 +717,19 @@ def _make_lane_fleet_solver(ocp, config: SQPConfig, dtype, interpret):
     if interpret:
         # CPU-suite path: host loop over a once-jitted iteration (XLA:CPU
         # compile cost of n_sqp unrolled interpreted kernels is prohibitive).
-        iteration_j = jax.jit(iteration)
+        iteration_j = {
+            n_qp: jax.jit(partial(iteration, n_iters=n_qp))
+            for _, n_qp in _phases_of(config)}
         finalize_j = jax.jit(finalize)
 
         def solve(all_params, xinit, z_init):
             P_cols, Z, x_cols = prepare(all_params, xinit, z_init)
             best_merit, _, _, _ = merit_of(P_cols, Z, x_cols)
             best_Z = Z
-            for _ in range(config.n_sqp):
-                Z, best_Z, best_merit = iteration_j(
-                    Z, best_Z, best_merit, P_cols, x_cols)
+            for n_sqp_p, n_qp_p in _phases_of(config):
+                for _ in range(n_sqp_p):
+                    Z, best_Z, best_merit = iteration_j[n_qp_p](
+                        Z, best_Z, best_merit, P_cols, x_cols)
             return finalize_j(best_Z, P_cols, x_cols)
 
         return solve
@@ -680,15 +738,20 @@ def _make_lane_fleet_solver(ocp, config: SQPConfig, dtype, interpret):
     def solve(all_params, xinit, z_init):
         P_cols, Z0, x_cols = prepare(all_params, xinit, z_init)
 
-        def body(carry, _):
-            Z, best_Z, best_merit = carry
-            Z_new, best_Z, best_merit = iteration(Z, best_Z, best_merit,
-                                                  P_cols, x_cols)
-            return (Z_new, best_Z, best_merit), None
+        def make_body(n_qp):
+            def body(carry, _):
+                Z, best_Z, best_merit = carry
+                Z_new, best_Z, best_merit = iteration(
+                    Z, best_Z, best_merit, P_cols, x_cols, n_iters=n_qp)
+                return (Z_new, best_Z, best_merit), None
+            return body
 
         merit0, _, _, _ = merit_of(P_cols, Z0, x_cols)
-        (Z_last, Z, _), _ = jax.lax.scan(
-            body, (Z0, Z0, merit0), None, length=config.n_sqp)
+        carry = (Z0, Z0, merit0)
+        for n_sqp_p, n_qp_p in _phases_of(config):
+            carry, _ = jax.lax.scan(
+                make_body(n_qp_p), carry, None, length=n_sqp_p)
+        (Z_last, Z, _) = carry
         return finalize(Z, P_cols, x_cols)
 
     return solve

@@ -44,15 +44,20 @@ __all__ = ["make_fused_fleet_solver"]
 
 def _fused_kernel(P_ref, x0_ref, Z_ref, out_ref, *, lin, merit, T, nz, nx,
                   nu, npar, m, mh, nU, union_cols, row_meta, stage_mask,
-                  n_sqp, track_best, ip_kwargs):
-    """One grid program: full SQP solve of TILE_B OCPs in VMEM."""
+                  phases, track_best, ip_kwargs):
+    """One grid program: full SQP solve of TILE_B OCPs in VMEM.
+
+    ``phases``: ((n_sqp, n_qp_iter), ...) — one fori_loop per phase so an
+    inexact-SQP schedule (loose early QPs, tight late ones;
+    SQPConfig.qp_iter_schedule) costs one extra loop body, not an unrolled
+    SQP loop."""
     Pc = P_ref[...].reshape(npar, T, SUBS, LANES)
     x0 = x0_ref[...].reshape(nx, SUBS, LANES)
     Z0 = Z_ref[...].reshape(T, nz, SUBS, LANES)
     dtype = Z0.dtype
     tri = [(i, q) for i in range(nz) for q in range(i, nz)]
 
-    def qp_step(Z):
+    def qp_step(Z, n_iters):
         qp = lin(Pc, Z, x0)
         # Pack H's upper triangle / slice D's union columns by STATIC
         # indices (stacking, not gathers — the kernel stays gather-free).
@@ -64,30 +69,35 @@ def _fused_kernel(P_ref, x0_ref, Z_ref, out_ref, *, lin, merit, T, nz, nx,
         dz, _ = _ip_solve(
             Hb, qp.g, qp.A, qp.B, qp.c, Db, qp.e, qp.r0,
             T=T, nz=nz, nx=nx, nu=nu, m=m, row_meta=row_meta,
-            stage_mask=stage_mask, **ip_kwargs)
+            stage_mask=stage_mask, n_iters=n_iters, **ip_kwargs)
         return dz
 
-    def sqp_body(_, carry):
-        Z, best_Z, best_merit = carry
-        dz = qp_step(Z)
-        Z_new = Z + dz
-        # A NaN step (failed QP) keeps the previous iterate (ops/sqp.py
-        # fleet-iteration semantics)
-        bad = jnp.isnan(jnp.sum(dz, axis=(0, 1)))  # (SUBS, LANES)
-        Z_new = jnp.where(bad[None, None], Z, Z_new)
-        if not track_best:
-            return Z_new, Z_new, best_merit
-        mv, _, _, _ = merit(Pc, Z_new, x0)
-        better = mv < best_merit
-        best_Z = jnp.where(better[None, None], Z_new, best_Z)
-        best_merit = jnp.minimum(mv, best_merit)
-        return Z_new, best_Z, best_merit
+    def make_body(n_iters):
+        def sqp_body(_, carry):
+            Z, best_Z, best_merit = carry
+            dz = qp_step(Z, n_iters)
+            Z_new = Z + dz
+            # A NaN step (failed QP) keeps the previous iterate (ops/sqp.py
+            # fleet-iteration semantics)
+            bad = jnp.isnan(jnp.sum(dz, axis=(0, 1)))  # (SUBS, LANES)
+            Z_new = jnp.where(bad[None, None], Z, Z_new)
+            if not track_best:
+                return Z_new, Z_new, best_merit
+            mv, _, _, _ = merit(Pc, Z_new, x0)
+            better = mv < best_merit
+            best_Z = jnp.where(better[None, None], Z_new, best_Z)
+            best_merit = jnp.minimum(mv, best_merit)
+            return Z_new, best_Z, best_merit
+        return sqp_body
 
     if track_best:
         merit0, _, _, _ = merit(Pc, Z0, x0)
     else:
         merit0 = jnp.zeros((SUBS, LANES), dtype)
-    _, Z, _ = jax.lax.fori_loop(0, n_sqp, sqp_body, (Z0, Z0, merit0))
+    carry = (Z0, Z0, merit0)
+    for n_sqp_p, n_qp_p in phases:
+        carry = jax.lax.fori_loop(0, n_sqp_p, make_body(n_qp_p), carry)
+    _, Z, _ = carry
 
     _, cost, eq_res, _ = merit(Pc, Z, x0)
     out_ref[...] = jnp.concatenate(
@@ -134,13 +144,15 @@ def make_fused_fleet_solver(ocp, config, dtype=jnp.float32,
         jax.ShapeDtypeStruct((nx, 2), dtype))
 
     ip_kwargs = dict(
-        n_iters=config.n_qp_iter, mu0=1e2, mu_min=config.mu_min, tau=0.995,
+        mu0=1e2, mu_min=config.mu_min, tau=0.995,
         w_max=config.w_max, s_floor=1e-10, tol_freeze=1e-5, warm=False)
+    phases = (tuple(tuple(p) for p in config.qp_iter_schedule)
+              or ((config.n_sqp, config.n_qp_iter),))
 
     kernel = functools.partial(
         _fused_kernel, lin=lin, merit=merit, T=T, nz=nz, nx=nx, nu=nu,
         npar=npar, m=m, mh=mh, nU=nU, union_cols=union_cols,
-        row_meta=row_meta, stage_mask=stage_mask, n_sqp=config.n_sqp,
+        row_meta=row_meta, stage_mask=stage_mask, phases=phases,
         track_best=config.track_best, ip_kwargs=ip_kwargs)
 
     in_fields = [npar * T, nx, T * nz]

@@ -76,8 +76,10 @@ class TMPCOptimizer:
         on_tpu = (jax.devices()[0].platform == "tpu"
                   and solver.dtype == jnp.float32)
         self._fleet_backends = ["fused", "pallas"] if on_tpu else ["xla"]
+        from ..ops.sqp import _phases_of
+
         self._packed_solve = None  # n_sqp -> packed fn (lazy, w/ fallback)
-        self._fleet_n_full = solver.config.n_sqp
+        self._fleet_n_full = sum(n for n, _ in _phases_of(solver.config))
         self.fleet_backend = None
 
         # Parameter column indices
@@ -109,7 +111,9 @@ class TMPCOptimizer:
 
     # ------------------------------------------------------------------
     def _build_packed_solve(self, backend, n_sqp):
-        config = self.solver.config._replace(n_sqp=n_sqp)
+        from ..ops.sqp import scale_iterations
+
+        config = scale_iterations(self.solver.config, n_sqp)
         if backend == "xla":
             raw = make_sqp_solver(self.solver.ocp, config,
                                   dtype=self.solver.dtype)

@@ -55,7 +55,9 @@ class Solver:
         # Variants compile lazily (first selection); the full-count variant
         # is self._solve_fn above.
         self.adaptive_iterations = bool(ss.get("adaptive_iterations", True))
-        n_full = sqp_config.n_sqp
+        from ..ops.sqp import _phases_of
+
+        n_full = sum(n for n, _ in _phases_of(sqp_config))
         self._iter_ladder = sorted(
             {n_full, max(1, n_full // 2), max(1, n_full // 4)}, reverse=True)
         self._ladder_fns = {n_full: self._solve_fn}
@@ -216,8 +218,10 @@ class Solver:
 
     def _ladder_fn(self, n: int):
         if n not in self._ladder_fns:
+            from ..ops.sqp import scale_iterations
+
             self._ladder_fns[n] = make_sqp_solver(
-                self.ocp, self.config._replace(n_sqp=n), dtype=self.dtype)
+                self.ocp, scale_iterations(self.config, n), dtype=self.dtype)
         return self._ladder_fns[n]
 
     def note_solve_time(self, n: int, elapsed: float,

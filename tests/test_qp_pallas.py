@@ -394,3 +394,35 @@ def test_fused_sqp_kernel_gaussian_config():
     assert bool(np.all(np.asarray(r_fused.success)))
     np.testing.assert_allclose(np.asarray(r_fused.z)[:, :-1],
                                np.asarray(r_xla.z)[:, :-1], atol=1e-4)
+
+
+@pytest.mark.slow
+def test_fused_sqp_kernel_qp_iter_schedule():
+    """Inexact-SQP schedule (SQPConfig.qp_iter_schedule) through the fused
+    kernel in interpret mode: parity vs the XLA backend running the same
+    schedule — the per-phase fori_loops must compose identically."""
+    N = 3
+    ocp, P, x0, z_init = goal_tracking_setup(N=N, n_obstacles=1)
+    B = 3
+    Pb = np.tile(P[None], (B, 1, 1))
+    for b in range(B):
+        Pb[b, :, ocp.registry.index("goal_y")] = 1.5 - 0.6 * b
+    x0b = np.tile(x0[None], (B, 1))
+    x0b[:, 1] = np.array([0.0, 0.15, -0.2])
+    zb = np.tile(z_init[None], (B, 1, 1))
+    zb[..., ocp.nu:] = x0b[:, None, :]
+    args = (jnp.asarray(Pb), jnp.asarray(x0b), jnp.asarray(zb))
+
+    cfg = SQPConfig(n_sqp=4, n_qp_iter=12, mu_min=1e-10,
+                    regularization="gershgorin", track_best=False,
+                    qp_iter_schedule=((2, 6), (2, 12)))
+    r_xla = make_fleet_sqp_solver(ocp, cfg, dtype=jnp.float64,
+                                  backend="xla")(*args)
+    r_fused = make_fleet_sqp_solver(ocp, cfg, dtype=jnp.float64,
+                                    backend="fused", interpret=True)(*args)
+    assert bool(np.all(np.asarray(r_xla.success)))
+    assert bool(np.all(np.asarray(r_fused.success)))
+    np.testing.assert_allclose(np.asarray(r_fused.z)[:, :-1],
+                               np.asarray(r_xla.z)[:, :-1], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(r_fused.cost),
+                               np.asarray(r_xla.cost), rtol=1e-5, atol=1e-6)

@@ -397,3 +397,39 @@ def test_buffered_packed_solve_roundtrip():
     np.testing.assert_array_equal(out.cost, np.asarray(ref.cost))
     np.testing.assert_array_equal(out.success, np.asarray(ref.success))
     np.testing.assert_array_equal(out.exit_code, np.asarray(ref.exit_code))
+
+
+def test_qp_iter_schedule_matches_chained_uniform_solves():
+    """An inexact-SQP schedule ((n1, q1), (n2, q2)) must equal running a
+    uniform (n1, q1) solve and feeding its iterate into a uniform (n2, q2)
+    solve: the SQP iteration is Markov in z with track_best off and no dual
+    warm starts, so the schedule is pure control flow, not new math."""
+    ocp, P, x0, z_init = goal_tracking_setup(N=10, n_obstacles=2)
+    kw = dict(mu_min=1e-9, w_max=1e14, track_best=False)
+    sched = make_sqp_solver(
+        ocp, SQPConfig(qp_iter_schedule=((3, 5), (3, 9)), **kw),
+        dtype=jnp.float64)
+    s1 = make_sqp_solver(ocp, SQPConfig(n_sqp=3, n_qp_iter=5, **kw),
+                         dtype=jnp.float64)
+    s2 = make_sqp_solver(ocp, SQPConfig(n_sqp=3, n_qp_iter=9, **kw),
+                         dtype=jnp.float64)
+
+    res_sched = sched(P, x0, z_init)
+    res_chain = s2(P, x0, np.asarray(s1(P, x0, z_init).z))
+    np.testing.assert_allclose(np.asarray(res_sched.z),
+                               np.asarray(res_chain.z), atol=1e-12)
+    assert bool(res_sched.success)
+
+
+def test_scale_iterations_drops_loose_phases_first():
+    from oscar_mpc_planner_mr_modification_tpu.ops.sqp import scale_iterations
+
+    cfg = SQPConfig(n_sqp=8, n_qp_iter=8, qp_iter_schedule=((4, 4), (4, 8)))
+    assert scale_iterations(cfg, 6).qp_iter_schedule == ((2, 4), (4, 8))
+    assert scale_iterations(cfg, 4).qp_iter_schedule == ((4, 8),)
+    assert scale_iterations(cfg, 2).qp_iter_schedule == ((2, 8),)
+    # n above the schedule total: schedule unchanged (it IS the full count)
+    assert scale_iterations(cfg, 12).qp_iter_schedule == ((4, 4), (4, 8))
+    # plain configs: n_sqp replacement only
+    plain = SQPConfig(n_sqp=10, n_qp_iter=8)
+    assert scale_iterations(plain, 5) == plain._replace(n_sqp=5)
