@@ -64,17 +64,18 @@ def main():
         return res
 
     # (label, phases). QP-iteration total and SQP count shown per row.
-    CONFIGS = [
-        ("base 10x8", [(10, 8)]),
-        ("uniform 10x6", [(10, 6)]),
-        ("uniform 10x5", [(10, 5)]),
-        ("uniform 8x8", [(8, 8)]),
-        ("uniform 6x8", [(6, 8)]),
-        ("ramp 5x4+5x8", [(5, 4), (5, 8)]),
-        ("ramp 6x4+4x8", [(6, 4), (4, 8)]),
-        ("ramp 4x4+4x8", [(4, 4), (4, 8)]),
-        ("ramp 5x5+3x10", [(5, 5), (3, 10)]),
-    ]
+    import json
+    CONFIGS = json.loads(os.environ.get("EXP_CONFIGS", """[
+        ["base 10x8", [[10, 8]]],
+        ["uniform 10x6", [[10, 6]]],
+        ["uniform 10x5", [[10, 5]]],
+        ["uniform 8x8", [[8, 8]]],
+        ["uniform 6x8", [[6, 8]]],
+        ["ramp 5x4+5x8", [[5, 4], [5, 8]]],
+        ["ramp 6x4+4x8", [[6, 4], [4, 8]]],
+        ["ramp 4x4+4x8", [[4, 4], [4, 8]]],
+        ["ramp 5x5+3x10", [[5, 5], [3, 10]]]
+    ]"""))
 
     base = None
     for label, phases in CONFIGS:
