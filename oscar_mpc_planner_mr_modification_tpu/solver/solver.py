@@ -39,9 +39,18 @@ class Solver:
 
         ss = settings.get("solver_settings", {})
         if sqp_config is None:
+            # qp_iter_schedule: optional [[n_sqp, n_qp_iter], ...] phases for
+            # the inexact-SQP schedule (see SQPConfig.qp_iter_schedule); the
+            # settings-file analog of the reference's solver-option yaml
+            # (config/settings.yaml solver_settings block).
+            sched = tuple(
+                (int(n), int(q)) for n, q in ss.get("qp_iter_schedule", ()))
+            n_sqp = (sum(n for n, _ in sched) if sched
+                     else int(ss.get("iterations", 10)))
             sqp_config = SQPConfig(
-                n_sqp=int(ss.get("iterations", 10)),
+                n_sqp=n_sqp,
                 n_qp_iter=int(ss.get("qp_iterations", 18)),
+                qp_iter_schedule=sched,
             )
         self.config = sqp_config
         self._solve_fn = make_sqp_solver(ocp, sqp_config, dtype=dtype)

@@ -129,3 +129,30 @@ def test_prm_python_fallback_bounded():
     assert g.update()
     med = _median_time(g.update, n=5)
     assert med < 0.08, f"python PRM too slow: {med * 1e3:.1f} ms"
+
+
+def test_solver_settings_qp_iter_schedule_plumbing():
+    """solver_settings.qp_iter_schedule reaches the SQPConfig and the ladder
+    (the settings-file analog of the reference's solver-option yaml)."""
+    import jax.numpy as jnp
+
+    from oscar_mpc_planner_mr_modification_tpu.models import (
+        SecondOrderUnicycleModel)
+    from oscar_mpc_planner_mr_modification_tpu.modules import (
+        GoalModule, ModuleManager, MPCBaseModule)
+    from oscar_mpc_planner_mr_modification_tpu.solver import Solver, build_ocp
+    from oscar_mpc_planner_mr_modification_tpu.utils import default_settings
+
+    settings = default_settings(N=6, max_obstacles=0)
+    settings["solver_settings"]["qp_iter_schedule"] = [[2, 4], [2, 8]]
+    mm = ModuleManager()
+    base = mm.add_module(MPCBaseModule(settings))
+    base.weigh_variable("a", "acceleration")
+    base.weigh_variable("w", "angular_velocity")
+    mm.add_module(GoalModule(settings))
+    ocp = build_ocp(SecondOrderUnicycleModel(), mm, settings)
+    solver = Solver(ocp, settings, dtype=jnp.float64)
+    assert solver.config.qp_iter_schedule == ((2, 4), (2, 8))
+    assert solver.config.n_sqp == 4
+    # Ladder full count equals the schedule total
+    assert max(solver._iter_ladder) == 4
