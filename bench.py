@@ -101,9 +101,11 @@ def main():
         "unit": "plans/s", "vs_baseline": -1.0, "batch": batch,
         "n_planners": n_paths + 1, "horizon": N,
         "p99_small_batch_latency_ms": -1.0, "small_batch_median_ms": -1.0,
+        "small_batch_spike_share": -1.0,
         "on_device_step_ms": -1.0, "transport_rtt_ms": -1.0,
         "on_device_fleet_step_ms": -1.0, "device_plans_per_s": -1.0,
         "e2e_tick_median_ms": -1.0, "e2e_tick_p99_ms": -1.0,
+        "e2e_tick_spike_share": -1.0,
         "success_rate": -1.0, "platform": platform, "backend": "none",
     }
     emit(result)
@@ -182,6 +184,11 @@ def main():
         result["p99_small_batch_latency_ms"] = round(
             float(np.percentile(lat_ms, 99)), 2)
         result["small_batch_median_ms"] = round(float(np.median(lat_ms)), 2)
+        # Tunnel-RTT spike share: tunnel-inclusive p99s are set by rare
+        # (~2-4/120) RTT spikes >=1.5x the median; report the rate so the
+        # tail is interpretable against the RTT weather of the run.
+        result["small_batch_spike_share"] = round(
+            float(np.mean(lat_ms > 1.5 * np.median(lat_ms))), 4)
         log(f"small batch: median {result['small_batch_median_ms']} ms, "
             f"p99 {result['p99_small_batch_latency_ms']} ms")
         emit(result)
@@ -275,6 +282,8 @@ def main():
             result["e2e_tick_median_ms"] = round(float(np.median(tick_ms)), 2)
             result["e2e_tick_p99_ms"] = round(
                 float(np.percentile(tick_ms, 99)), 2)
+            result["e2e_tick_spike_share"] = round(
+                float(np.mean(tick_ms > 1.5 * np.median(tick_ms))), 4)
             log(f"e2e tick: median {result['e2e_tick_median_ms']} ms, "
                 f"p99 {result['e2e_tick_p99_ms']} ms")
 
