@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Closed-loop Monte-Carlo throughput on hardware (parallel/rollout.py).
+
+B closed-loop episodes x n_ticks control periods advanced entirely on device
+in one dispatch (param fill -> fused SQP -> dynamics -> obstacle step ->
+metrics). The reference's equivalent is one Gazebo episode per process in
+real time: 60 ticks at 20 Hz = 3 s wall per episode per core.
+
+Prints one JSON line with episodes/s, closed-loop ticks/s and scene metrics.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from oscar_mpc_planner_mr_modification_tpu.parallel.rollout import (
+        make_batch_rollout, sample_scenes)
+
+    B = int(os.environ.get("ROLLOUT_B", "4096"))
+    N = int(os.environ.get("ROLLOUT_N", "20"))
+    n_ticks = int(os.environ.get("ROLLOUT_TICKS", "60"))
+    n_obs = int(os.environ.get("ROLLOUT_OBS", "3"))
+
+    platform = jax.devices()[0].platform
+    log(f"platform={platform} B={B} N={N} ticks={n_ticks}")
+    rollout, ocp = make_batch_rollout(n_obstacles=n_obs, N=N, n_ticks=n_ticks,
+                                      dtype=jnp.float32)
+    x0, goal, obs0, obs_vel = sample_scenes(B, n_obs, seed=0)
+    args = tuple(map(jnp.asarray, (x0, goal, obs0, obs_vel)))
+
+    log("compiling (fused kernel inside lax.scan)...")
+    m = rollout(*args)
+    reached = float(np.mean(np.asarray(m.reached)))  # forces completion
+
+    ts = []
+    for i in range(4):
+        x0i, goali, obs0i, veli = sample_scenes(B, n_obs, seed=i + 1)
+        a = tuple(map(jnp.asarray, (x0i, goali, obs0i, veli)))
+        t0 = time.perf_counter()
+        m = rollout(*a)
+        reached = float(np.mean(np.asarray(m.reached)))
+        ts.append(time.perf_counter() - t0)
+    dt_s = float(np.median(ts))
+    result = {
+        "metric": "closed_loop_episodes_per_s", "value": round(B / dt_s, 1),
+        "unit": "episodes/s", "batch": B, "n_ticks": n_ticks, "horizon": N,
+        "wall_s_per_batch": round(dt_s, 3),
+        "closed_loop_ticks_per_s": round(B * n_ticks / dt_s, 1),
+        "reached_rate": round(float(np.mean(np.asarray(m.reached))), 4),
+        "collision_rate": round(float(np.mean(np.asarray(m.collided))), 4),
+        "solve_success": round(
+            float(np.mean(np.asarray(m.solve_success_rate))), 4),
+        "platform": platform,
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()
