@@ -185,3 +185,162 @@ def sample_scenes(B: int, n_obstacles: int, seed: int = 0):
     obs_vel = np.stack([rng.uniform(-0.2, 0.2, (B, n_obstacles)),
                         -np.sign(oy) * speed], axis=-1)
     return x0, goal, obs0, obs_vel
+
+
+class MultiRobotRolloutMetrics(NamedTuple):
+    all_reached: jnp.ndarray  # (B,) bool — every robot within goal distance
+    reached_rate: jnp.ndarray  # (B,) fraction of robots that reached
+    collided: jnp.ndarray  # (B,) bool — any robot-robot disc overlap
+    min_robot_dist: jnp.ndarray  # (B,) min pairwise center distance
+    solve_success_rate: jnp.ndarray  # (B,) mean over (ticks, robots)
+    final_states: jnp.ndarray  # (B, R, nx)
+
+
+def make_multirobot_rollout(n_robots: int = 4, N: int = 20, n_ticks: int = 60,
+                            config: SQPConfig = None, dtype=jnp.float32,
+                            backend: str = "auto", settings=None,
+                            goal_reached_dist: float = 1.0,
+                            margin: float = 0.15):
+    """Batched multi-robot joint planning, entirely on device.
+
+    The fork's core loop (jules_ros1_jackalplanner.cpp:258-404): each robot
+    plans against the OTHER robots' communicated planned trajectories, then
+    broadcasts its own plan. Here B independent episodes of R robots advance
+    under one ``lax.scan``: per tick every robot solves with the others'
+    previous-tick plans as trajectory obstacles (shifted one stage — the
+    receiver-side elapsed-time alignment of prepareObstacleData,
+    jules_…:836-1065, for the synchronous full-communication regime), all
+    B×R solves batched through one fused kernel call.
+
+    Returns ``(rollout, ocp)``; ``rollout(x0 (B, R, nx), goals (B, R, 2)) ->
+    MultiRobotRolloutMetrics``.
+    """
+    n_others = n_robots - 1
+    ocp, settings = _goal_ellipsoid_ocp(n_others, N, settings)
+    if config is None:
+        config = SQPConfig(n_sqp=8, n_qp_iter=8, mu_min=1e-6, w_max=1e6,
+                           reg_eps=1e-4, regularization="gershgorin",
+                           track_best=False,
+                           qp_iter_schedule=((4, 4), (4, 8)))
+    if backend == "auto":
+        backend = "fused" if jax.default_backend() == "tpu" else "xla"
+    solve = make_fleet_sqp_solver(ocp, config, dtype=dtype, backend=backend)
+
+    reg = ocp.registry
+    idx = reg.save_map()
+    npar, nvar, nu, nx = ocp.npar, ocp.nvar, ocp.nu, ocp.nx
+    dt = ocp.dt
+    model = ocp.model
+    w = settings["weights"]
+    robot_radius = float(settings["robot_radius"])
+    iv = model.state_index("v")
+    ix, iy = model.var_index("x"), model.var_index("y")
+
+    base = np.zeros(npar)
+    base[idx["acceleration"]] = w["acceleration"]
+    base[idx["angular_velocity"]] = w["angular_velocity"]
+    base[idx["goal_weight"]] = w.get("goal", 1.0)
+    base[idx["ego_disc_radius"]] = robot_radius
+    base[idx["ego_disc_0_offset"]] = 0.0
+    for i in range(n_others):
+        base[idx[f"ellipsoid_obst_{i}_psi"]] = 0.0
+        base[idx[f"ellipsoid_obst_{i}_major"]] = 0.0
+        base[idx[f"ellipsoid_obst_{i}_minor"]] = 0.0
+        base[idx[f"ellipsoid_obst_{i}_chi"]] = 1.0
+        # ``margin`` absorbs the one-tick staleness of exchanged plans (both
+        # parties move up to ~v*dt between broadcast and execution); the
+        # reference gets the same effect from its inflated prediction
+        # uncertainty (data_preparation.cpp:175-191)
+        base[idx[f"ellipsoid_obst_{i}_r"]] = robot_radius + margin
+    base_j = jnp.asarray(base, dtype)
+    gx, gy = idx["goal_x"], idx["goal_y"]
+    ox_cols = np.array([idx[f"ellipsoid_obst_{i}_x"] for i in range(n_others)])
+    oy_cols = np.array([idx[f"ellipsoid_obst_{i}_y"] for i in range(n_others)])
+    # Static (R, R-1) index of "the other robots" per robot
+    others = np.stack([np.concatenate([np.arange(r), np.arange(r + 1, n_robots)])
+                       for r in range(n_robots)])
+    collision_dist = 2.0 * robot_radius
+    R = n_robots
+
+    @jax.jit
+    def rollout(x0, goals):
+        B = x0.shape[0]
+        x0 = x0.astype(dtype)
+        goals = goals.astype(dtype)
+        Z0 = jnp.zeros((B, R, N + 1, nvar), dtype)
+        Z0 = Z0.at[..., nu:].set(x0[:, :, None, :])
+
+        def tick(carry, _):
+            X, Z = carry  # X (B,R,nx); Z (B,R,N+1,nvar) previous plans
+            # Each robot's view of the others' plans. Z is the shift-forward
+            # warmstart = last tick's solution advanced one stage, which is
+            # exactly the elapsed-time alignment of received trajectories
+            # (their stage k+1 of last tick IS my stage k now,
+            # jules_…:836-1065) — no further shifting.
+            plans = Z[..., [ix, iy]]  # (B, R, N+1, 2)
+            pred = plans[:, others]  # (B, R, R-1, N+1, 2)
+            pred = jnp.swapaxes(pred, 2, 3)[:, :, :N]  # (B, R, N, R-1, 2)
+
+            P = jnp.broadcast_to(base_j, (B, R, N, npar))
+            P = P.at[..., gx].set(goals[:, :, None, 0])
+            P = P.at[..., gy].set(goals[:, :, None, 1])
+            P = P.at[..., ox_cols].set(pred[..., 0])
+            P = P.at[..., oy_cols].set(pred[..., 1])
+
+            flat = lambda a: a.reshape((B * R,) + a.shape[2:])
+            res = solve(flat(P), flat(X), flat(Z))
+            succ = res.success.reshape(B, R)
+            z = res.z.reshape(B, R, N + 1, nvar)
+            v = X[..., iv]
+            brake = jnp.stack(
+                [jnp.clip(-v / dt, -2.0, 2.0), jnp.zeros_like(v)], axis=-1)
+            u = jnp.where(succ[..., None], z[:, :, 0, :nu], brake)
+            X_new = jax.vmap(jax.vmap(lambda xi, ui: model.discrete_dynamics(
+                xi, ui, dt)))(X, u)
+            Z_next = jnp.concatenate([z[:, :, 1:], z[:, :, -1:]], axis=2)
+            # A failed robot broadcasts a stationary plan at its current pose
+            # (the braking-trajectory fallback, jules_…:1169-1218)
+            stay = jnp.zeros_like(Z_next).at[..., nu:].set(
+                X_new[:, :, None, :])
+            Z_next = jnp.where(succ[..., None, None], Z_next, stay)
+
+            diff = X_new[:, :, None, :2] - X_new[:, None, :, :2]
+            d = jnp.linalg.norm(diff, axis=-1) + jnp.eye(R, dtype=dtype) * 1e3
+            min_d = jnp.min(d, axis=(1, 2))
+            goal_d = jnp.linalg.norm(X_new[..., :2] - goals, axis=-1)
+            return (X_new, Z_next), (succ, min_d, goal_d)
+
+        (X_f, _), (succ, min_d, goal_d) = jax.lax.scan(
+            tick, (x0, Z0), None, length=n_ticks)
+        reached = jnp.any(goal_d < goal_reached_dist, axis=0)  # (B, R)
+        return MultiRobotRolloutMetrics(
+            all_reached=jnp.all(reached, axis=1),
+            reached_rate=jnp.mean(reached.astype(dtype), axis=1),
+            collided=jnp.min(min_d, axis=0) < collision_dist,
+            min_robot_dist=jnp.min(min_d, axis=0),
+            solve_success_rate=jnp.mean(
+                succ.astype(dtype), axis=(0, 2)),
+            final_states=X_f,
+        )
+
+    return rollout, ocp
+
+
+def antipodal_circle_scenes(B: int, n_robots: int, radius: float = 3.0,
+                            seed: int = 0):
+    """The classic joint-planning benchmark (and the fork's experiment
+    layout): robots on a circle, goals diametrically opposite — every episode
+    forces all robots through the center conflict."""
+    rng = np.random.default_rng(seed)
+    nx = 4
+    base_ang = rng.uniform(0.0, 2.0 * np.pi, (B, 1))
+    ang = base_ang + np.arange(n_robots)[None] * (2.0 * np.pi / n_robots)
+    ang += rng.normal(0.0, 0.05, (B, n_robots))
+    r = radius + rng.normal(0.0, 0.1, (B, n_robots))
+    x0 = np.zeros((B, n_robots, nx))
+    x0[..., 0] = r * np.cos(ang)
+    x0[..., 1] = r * np.sin(ang)
+    x0[..., 2] = ang + np.pi  # heading toward the center/goal
+    x0[..., 3] = 0.3
+    goals = -np.stack([r * np.cos(ang), r * np.sin(ang)], axis=-1)
+    return x0, goals

@@ -60,3 +60,23 @@ def test_rollout_is_one_jitted_program():
                            jnp.asarray(obs0), jnp.asarray(obs_vel))
     assert shape.reached.shape == (4,)
     assert shape.final_state.shape == (4, 4)
+
+
+def test_multirobot_rollout_antipodal_circle():
+    """B episodes x R robots of device-resident joint planning (the fork's
+    trajectory-exchange loop, jules_ros1_jackalplanner.cpp:258-404, as one
+    lax.scan): on the antipodal-circle benchmark every robot must reach its
+    goal without robot-robot collision, respecting the exchanged-plan
+    separation (2*radius + staleness margin)."""
+    from oscar_mpc_planner_mr_modification_tpu.parallel.rollout import (
+        antipodal_circle_scenes, make_multirobot_rollout)
+
+    rollout, _ = make_multirobot_rollout(n_robots=4, N=12, n_ticks=55,
+                                         dtype=jnp.float64, backend="xla")
+    x0, goals = antipodal_circle_scenes(8, 4, radius=3.0, seed=2)
+    m = rollout(jnp.asarray(x0), jnp.asarray(goals))
+    assert bool(np.all(np.asarray(m.all_reached)))
+    assert not bool(np.any(np.asarray(m.collided)))
+    # Constraint separation: 2 * 0.325 + 0.15 margin, minus solver tolerance
+    assert float(np.min(np.asarray(m.min_robot_dist))) >= 0.78
+    assert float(np.mean(np.asarray(m.solve_success_rate))) >= 0.95

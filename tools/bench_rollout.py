@@ -68,6 +68,42 @@ def main():
     }
     print(json.dumps(result), flush=True)
 
+    # Phase 2: multi-robot joint planning (B episodes x R robots exchanging
+    # plans every tick, the fork's core loop) on the antipodal-circle
+    # benchmark.
+    from oscar_mpc_planner_mr_modification_tpu.parallel.rollout import (
+        antipodal_circle_scenes, make_multirobot_rollout)
+
+    R = int(os.environ.get("ROLLOUT_ROBOTS", "4"))
+    Bm = int(os.environ.get("ROLLOUT_MR_B", str(max(B // R, 1))))
+    log(f"multi-robot: B={Bm} episodes x {R} robots, compiling...")
+    mr, _ = make_multirobot_rollout(n_robots=R, N=N, n_ticks=n_ticks,
+                                    dtype=jnp.float32)
+    x0, goals = antipodal_circle_scenes(Bm, R, seed=0)
+    mm = mr(jnp.asarray(x0), jnp.asarray(goals))
+    float(np.mean(np.asarray(mm.all_reached)))
+    ts = []
+    for i in range(4):
+        x0i, goalsi = antipodal_circle_scenes(Bm, R, seed=i + 1)
+        t0 = time.perf_counter()
+        mm = mr(jnp.asarray(x0i), jnp.asarray(goalsi))
+        float(np.mean(np.asarray(mm.all_reached)))
+        ts.append(time.perf_counter() - t0)
+    dt_s = float(np.median(ts))
+    result_mr = {
+        "metric": "multirobot_episodes_per_s", "value": round(Bm / dt_s, 1),
+        "unit": "episodes/s", "batch": Bm, "n_robots": R, "n_ticks": n_ticks,
+        "horizon": N, "wall_s_per_batch": round(dt_s, 3),
+        "robot_ticks_per_s": round(Bm * R * n_ticks / dt_s, 1),
+        "all_reached_rate": round(
+            float(np.mean(np.asarray(mm.all_reached))), 4),
+        "collision_rate": round(float(np.mean(np.asarray(mm.collided))), 4),
+        "solve_success": round(
+            float(np.mean(np.asarray(mm.solve_success_rate))), 4),
+        "platform": platform,
+    }
+    print(json.dumps(result_mr), flush=True)
+
 
 if __name__ == "__main__":
     main()
