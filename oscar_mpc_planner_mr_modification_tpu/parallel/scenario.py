@@ -286,13 +286,16 @@ class ScenarioOptimizer:
         self._samples = means[None, None] + walk
         self._sample_radii = radii
 
-    def _build_packed_solve(self, backend):
+    def _build_packed_solve(self, backend, n_sqp):
+        from ..ops.sqp import scale_iterations
+
+        config = scale_iterations(self.solver.config, n_sqp)
         if backend == "xla":
-            raw = make_sqp_solver(self.solver.ocp, self.solver.config,
+            raw = make_sqp_solver(self.solver.ocp, config,
                                   dtype=self.solver.dtype)
             batched = jax.vmap(raw, in_axes=(0, None, 0))
         else:
-            fleet = make_fleet_sqp_solver(self.solver.ocp, self.solver.config,
+            fleet = make_fleet_sqp_solver(self.solver.ocp, config,
                                           dtype=self.solver.dtype,
                                           backend=backend)
 
@@ -306,29 +309,54 @@ class ScenarioOptimizer:
 
     def _solve_batch(self, params, xinit, warmstarts) -> SQPResult:
         """One dispatch + one packed readback, with the first call probing
-        the backend ladder (see parallel/tmpc.py::_solve_batch)."""
+        the backend ladder and the ITERATION count adapting to the remaining
+        tick budget through the solver's precompiled n_sqp ladder + shared
+        per-iteration EMA (see parallel/tmpc.py::_solve_batch; the reference
+        sets solver_timeout per parallel scenario solver,
+        scenario_constraints.cpp:58-108)."""
+        import time as _time
+
         T, nz = self.solver.N + 1, self.solver.nvar
         args = (params, xinit, warmstarts)
-        if self._packed_solve is not None:
-            return unpack_results(self._packed_solve(*args), T, nz)
-        last_exc = None
-        for i, backend in enumerate(self._fleet_backends):
-            try:
-                fn = self._build_packed_solve(backend)
-                out = fn(*args)
-                self._packed_solve = fn
-                self.fleet_backend = backend
-                return unpack_results(out, T, nz)
-            except Exception as exc:
-                last_exc = exc
-                if i + 1 < len(self._fleet_backends):
-                    import warnings
+        from ..ops.sqp import _phases_of
 
-                    warnings.warn(
-                        f"fleet backend {backend!r} failed at first call "
-                        f"({exc}); falling back to "
-                        f"{self._fleet_backends[i + 1]!r}")
-        raise last_exc
+        n_full = sum(n for n, _ in _phases_of(self.solver.config))
+        n = (self.solver.select_iterations() if self._packed_solve
+             else n_full)  # probe the backend at full count first
+        fn = self._packed_solve.get(n) if self._packed_solve else None
+        if fn is not None:
+            first_call = False
+        elif self._packed_solve is not None:
+            fn = self._build_packed_solve(self.fleet_backend, n)
+            self._packed_solve[n] = fn
+            first_call = True
+        else:
+            last_exc = None
+            for i, backend in enumerate(self._fleet_backends):
+                try:
+                    fn = self._build_packed_solve(backend, n)
+                    t0 = _time.perf_counter()
+                    out = fn(*args)
+                    self._packed_solve = {n: fn}
+                    self.fleet_backend = backend
+                    self.solver.note_solve_time(
+                        n, _time.perf_counter() - t0, compile_call=True)
+                    return unpack_results(out, T, nz)
+                except Exception as exc:
+                    last_exc = exc
+                    if i + 1 < len(self._fleet_backends):
+                        import warnings
+
+                        warnings.warn(
+                            f"fleet backend {backend!r} failed at first call "
+                            f"({exc}); falling back to "
+                            f"{self._fleet_backends[i + 1]!r}")
+            raise last_exc
+        t0 = _time.perf_counter()
+        out = fn(*args)
+        self.solver.note_solve_time(n, _time.perf_counter() - t0,
+                                    compile_call=first_call)
+        return unpack_results(out, T, nz)
 
     # -- optimize (scenario_constraints.cpp:58-108) ------------------------
     def optimize(self, state, data, module_data) -> int:

@@ -433,3 +433,34 @@ def test_scenario_two_disc_end_to_end():
     # Disc offsets differ (two-disc robot): constraints are disc-specific
     offs = pdata[0, opt._off_idx]
     assert abs(offs[0] - offs[1]) > 1e-6
+
+
+def test_scenario_budget_adaptive_iterations():
+    """The SH-MPC parallel optimize adapts its iteration count to the
+    remaining tick budget through the solver's precompiled n_sqp ladder —
+    the reference sets solver_timeout per parallel scenario solver
+    (scenario_constraints.cpp:58-108; budget from planner.cpp:168-169)."""
+    import time
+
+    N, dt = 15, 0.2
+    planner, model, settings = make_sh_planner(N=N)
+    solver = planner.solver
+    state = State(model)
+    state.set("v", 0.8)
+    data = make_sh_data(settings, state, N, dt)
+    planner.on_data_received(data, "reference_path")
+    planner.on_data_received(data, "dynamic obstacles")
+
+    # Normal tick (no budget stamp): full count through the scenario path
+    out = planner.solve_mpc(state, data)
+    assert out.success
+    assert solver.last_iterations_run == 6
+
+    # Late-started tick: only ~12 ms of the 50 ms budget remains -> reduced
+    # ladder variant, still a usable command
+    planner.on_data_received(data, "dynamic obstacles")  # fresh samples
+    solver._iter_time_ema = 0.004
+    data.planning_start_time = time.monotonic() - 0.038
+    out = planner.solve_mpc(state, data)
+    assert out.success
+    assert solver.last_iterations_run < 6
