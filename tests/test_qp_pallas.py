@@ -426,3 +426,28 @@ def test_fused_sqp_kernel_qp_iter_schedule():
                                np.asarray(r_xla.z)[:, :-1], atol=1e-4)
     np.testing.assert_allclose(np.asarray(r_fused.cost),
                                np.asarray(r_xla.cost), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_periteration_pallas_qp_iter_schedule():
+    """The schedule must also work through the per-iteration pallas backend
+    (the fused kernel's runtime fallback): interpret-mode parity vs XLA."""
+    N = 3
+    ocp, P, x0, z_init = goal_tracking_setup(N=N, n_obstacles=1)
+    B = 2
+    Pb = np.tile(P[None], (B, 1, 1))
+    Pb[1, :, ocp.registry.index("goal_y")] = 0.4
+    x0b = np.tile(x0[None], (B, 1))
+    zb = np.tile(z_init[None], (B, 1, 1))
+    args = (jnp.asarray(Pb), jnp.asarray(x0b), jnp.asarray(zb))
+
+    cfg = SQPConfig(n_sqp=4, n_qp_iter=12, mu_min=1e-10,
+                    regularization="gershgorin", track_best=False,
+                    qp_iter_schedule=((2, 6), (2, 12)))
+    r_xla = make_fleet_sqp_solver(ocp, cfg, dtype=jnp.float64,
+                                  backend="xla")(*args)
+    r_pal = make_fleet_sqp_solver(ocp, cfg, dtype=jnp.float64,
+                                  backend="pallas", interpret=True)(*args)
+    assert bool(np.all(np.asarray(r_pal.success)))
+    np.testing.assert_allclose(np.asarray(r_pal.z)[:, :-1],
+                               np.asarray(r_xla.z)[:, :-1], atol=1e-6)
