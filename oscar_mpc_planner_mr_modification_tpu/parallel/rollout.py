@@ -344,3 +344,147 @@ def antipodal_circle_scenes(B: int, n_robots: int, radius: float = 3.0,
     x0[..., 3] = 0.3
     goals = -np.stack([r * np.cos(ang), r * np.sin(ang)], axis=-1)
     return x0, goals
+
+
+class ContouringRolloutMetrics(NamedTuple):
+    progress: jnp.ndarray  # (B,) final path progress s
+    collided: jnp.ndarray  # (B,) bool
+    max_lateral: jnp.ndarray  # (B,) max |lateral deviation| from the path
+    solve_success_rate: jnp.ndarray  # (B,)
+    min_obstacle_dist: jnp.ndarray  # (B,)
+    final_state: jnp.ndarray  # (B, nx)
+
+
+def make_contouring_rollout(n_obstacles: int = 3, N: int = 20,
+                            n_ticks: int = 80, config: SQPConfig = None,
+                            dtype=jnp.float32, backend: str = "auto",
+                            settings=None, obstacle_radius: float = 0.3):
+    """Closed-loop MPCC path following on device (BASELINE config 2: the
+    contouring model + ellipsoidal obstacles along a straight reference path).
+
+    Per tick the progress state is re-anchored to the closest path point
+    (Contouring::update sets state["spline"], contouring.cpp:28-50 — for the
+    straight path x(s)=s that is clip(x, 0, L), computed in-graph) and the
+    per-stage obstacle predictions are refilled, mirroring the host planner
+    loop. Returns ``(rollout, ocp)``; ``rollout(x0 (B, nx),
+    obs0 (B, n_obs, 2), obs_vel (B, n_obs, 2)) -> ContouringRolloutMetrics``.
+    """
+    from ..models import ContouringSecondOrderUnicycleModel
+    from ..modules import (ContouringModule, EllipsoidConstraintModule,
+                           ModuleManager, MPCBaseModule)
+    from ..solver import build_ocp
+    from ..utils import default_settings
+
+    settings = settings or default_settings(N=N, max_obstacles=n_obstacles)
+    mm = ModuleManager()
+    base = mm.add_module(MPCBaseModule(settings))
+    base.weigh_variable("a", "acceleration")
+    base.weigh_variable("w", "angular_velocity")
+    base.weigh_variable("v", ["velocity", "reference_velocity"],
+                        cost_function=lambda x, w: w[0] * (x - w[1]) ** 2)
+    mm.add_module(ContouringModule(settings))
+    mm.add_module(EllipsoidConstraintModule(settings))
+    ocp = build_ocp(ContouringSecondOrderUnicycleModel(), mm, settings)
+
+    if config is None:
+        config = SQPConfig(n_sqp=8, n_qp_iter=8, mu_min=1e-6, w_max=1e6,
+                           reg_eps=1e-4, regularization="gershgorin",
+                           track_best=False,
+                           qp_iter_schedule=((4, 4), (4, 8)))
+    if backend == "auto":
+        backend = "fused" if jax.default_backend() == "tpu" else "xla"
+    solve = make_fleet_sqp_solver(ocp, config, dtype=dtype, backend=backend)
+
+    reg = ocp.registry
+    idx = reg.save_map()
+    npar, nvar, nu, nx = ocp.npar, ocp.nvar, ocp.nu, ocp.nx
+    dt = ocp.dt
+    model = ocp.model
+    w = settings["weights"]
+    robot_radius = float(settings["robot_radius"])
+    n_seg = int(settings["contouring"]["num_segments"])
+    seg_len = 5.0
+    path_len = 5.0 * 10  # straight path x(s) = s, long enough for any run
+    i_s = model.state_index("spline")
+    iv = model.state_index("v")
+
+    base_p = np.zeros(npar)
+    base_p[idx["acceleration"]] = w["acceleration"]
+    base_p[idx["angular_velocity"]] = w["angular_velocity"]
+    base_p[idx["velocity"]] = w["velocity"]
+    base_p[idx["reference_velocity"]] = w["reference_velocity"]
+    base_p[idx["contour"]] = w["contour"]
+    base_p[idx["lag"]] = w["lag"]
+    base_p[idx["terminal_angle"]] = w["terminal_angle"]
+    base_p[idx["terminal_contouring"]] = w["terminal_contouring"]
+    base_p[idx["ego_disc_radius"]] = robot_radius
+    base_p[idx["ego_disc_0_offset"]] = 0.0
+    for i in range(n_obstacles):
+        base_p[idx[f"ellipsoid_obst_{i}_psi"]] = 0.0
+        base_p[idx[f"ellipsoid_obst_{i}_major"]] = 0.0
+        base_p[idx[f"ellipsoid_obst_{i}_minor"]] = 0.0
+        base_p[idx[f"ellipsoid_obst_{i}_chi"]] = 1.0
+        base_p[idx[f"ellipsoid_obst_{i}_r"]] = obstacle_radius
+    ox_cols = np.array([idx[f"ellipsoid_obst_{i}_x"] for i in range(n_obstacles)])
+    oy_cols = np.array([idx[f"ellipsoid_obst_{i}_y"] for i in range(n_obstacles)])
+    stage_t = jnp.arange(N, dtype=dtype) * dt
+    collision_dist = robot_radius + obstacle_radius
+
+    def fill_spline_segments(P, s_anchor, B):
+        """The host Contouring.set_parameters upload (contouring.cpp:96-126):
+        the ``num_segments`` consecutive straight-path segments starting at
+        the robot's current segment, as per-episode parameter columns."""
+        first = jnp.clip(jnp.floor(s_anchor / seg_len), 0,
+                         path_len / seg_len - 1.0)
+        for i in range(n_seg):
+            start = (first + i) * seg_len
+            P = P.at[:, :, idx[f"spline_x{i}_c"]].set(1.0)
+            P = P.at[:, :, idx[f"spline{i}_start"]].set(start[:, None])
+            P = P.at[:, :, idx[f"spline_x{i}_d"]].set(start[:, None])
+        return P
+
+    @jax.jit
+    def rollout(x0, obs0, obs_vel):
+        B = x0.shape[0]
+        x0 = x0.astype(dtype)
+        obs_vel = obs_vel.astype(dtype)
+        Z0 = jnp.zeros((B, N + 1, nvar), dtype)
+        Z0 = Z0.at[:, :, nu:].set(x0[:, None, :])
+
+        def tick(carry, _):
+            x, obs, Z = carry
+            # Progress re-anchor: closest path point of the straight path
+            s_anchor = jnp.clip(x[:, 0], 0.0, path_len)
+            x = x.at[:, i_s].set(s_anchor)
+            P = jnp.broadcast_to(jnp.asarray(base_p, dtype), (B, N, npar))
+            P = fill_spline_segments(P, s_anchor, B)
+            pred = obs[:, None] + obs_vel[:, None] * stage_t[None, :, None, None]
+            P = P.at[:, :, ox_cols].set(pred[..., 0])
+            P = P.at[:, :, oy_cols].set(pred[..., 1])
+            res = solve(P, x, Z)
+            v = x[:, iv]
+            brake = jnp.stack(
+                [jnp.clip(-v / dt, -2.0, 2.0), jnp.zeros_like(v)], axis=1)
+            u = jnp.where(res.success[:, None], res.z[:, 0, :nu], brake)
+            x_new = jax.vmap(lambda xi, ui: model.discrete_dynamics(
+                xi, ui, dt))(x, u)
+            obs_new = obs + obs_vel * dt
+            Z_next = jnp.concatenate([res.z[:, 1:], res.z[:, -1:]], axis=1)
+            Z_next = jnp.where(res.success[:, None, None], Z_next, Z0)
+            d = jnp.min(jnp.linalg.norm(
+                obs_new - x_new[:, None, :2], axis=-1), axis=1)
+            lat = jnp.abs(x_new[:, 1])  # straight path along y=0
+            return (x_new, obs_new, Z_next), (res.success, d, lat)
+
+        (x_f, _, _), (succ, dists, lats) = jax.lax.scan(
+            tick, (x0, obs0.astype(dtype), Z0), None, length=n_ticks)
+        return ContouringRolloutMetrics(
+            progress=jnp.clip(x_f[:, 0], 0.0, path_len),
+            collided=jnp.any(dists < collision_dist, axis=0),
+            max_lateral=jnp.max(lats, axis=0),
+            solve_success_rate=jnp.mean(succ.astype(dtype), axis=0),
+            min_obstacle_dist=jnp.min(dists, axis=0),
+            final_state=x_f,
+        )
+
+    return rollout, ocp

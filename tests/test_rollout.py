@@ -80,3 +80,34 @@ def test_multirobot_rollout_antipodal_circle():
     # Constraint separation: 2 * 0.325 + 0.15 margin, minus solver tolerance
     assert float(np.min(np.asarray(m.min_robot_dist))) >= 0.78
     assert float(np.mean(np.asarray(m.solve_success_rate))) >= 0.95
+
+
+def test_contouring_rollout_follows_path_and_avoids():
+    """Closed-loop MPCC path following on device (BASELINE config 2 shape):
+    episodes progress along the straight reference at ~reference_velocity,
+    deviate laterally to pass crossing obstacles, and respect the ellipsoid
+    separation."""
+    from oscar_mpc_planner_mr_modification_tpu.parallel.rollout import (
+        make_contouring_rollout)
+
+    rng = np.random.default_rng(3)
+    B, n_obs = 8, 2
+    rollout, ocp = make_contouring_rollout(
+        n_obstacles=n_obs, N=10, n_ticks=50, dtype=jnp.float64, backend="xla")
+    x0 = np.zeros((B, 5))
+    x0[:, 3] = 0.8
+    ox = rng.uniform(3.0, 10.0, (B, n_obs))
+    oy = rng.uniform(-2.5, 2.5, (B, n_obs)) + np.where(
+        rng.uniform(size=(B, n_obs)) < 0.5, -1.0, 1.0)
+    obs0 = np.stack([ox, oy], axis=-1)
+    obs_vel = np.stack([rng.uniform(-0.15, 0.15, (B, n_obs)),
+                        -np.sign(oy) * rng.uniform(0.3, 1.0, (B, n_obs))],
+                       axis=-1)
+    m = rollout(jnp.asarray(x0), jnp.asarray(obs0), jnp.asarray(obs_vel))
+    # 50 ticks at dt=0.2 and v_ref 2.0: well past 12 m along the path
+    assert float(np.min(np.asarray(m.progress))) > 12.0
+    assert not bool(np.any(np.asarray(m.collided)))
+    assert float(np.min(np.asarray(m.min_obstacle_dist))) >= 0.625 - 1e-6
+    assert float(np.mean(np.asarray(m.solve_success_rate))) >= 0.95
+    # Lateral deviations stay bounded (avoidance, not divergence)
+    assert float(np.max(np.asarray(m.max_lateral))) < 2.0

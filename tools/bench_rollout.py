@@ -104,6 +104,51 @@ def main():
     }
     print(json.dumps(result_mr), flush=True)
 
+    # Phase 3: closed-loop MPCC path following (BASELINE config 2 shape)
+    from oscar_mpc_planner_mr_modification_tpu.parallel.rollout import (
+        make_contouring_rollout)
+
+    log(f"contouring: B={B} episodes, compiling...")
+    cr, _ = make_contouring_rollout(n_obstacles=n_obs, N=N, n_ticks=n_ticks,
+                                    dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+
+    def contouring_scene(seed):
+        r = np.random.default_rng(seed)
+        x0c = np.zeros((B, 5), np.float32)
+        x0c[:, 3] = 0.8
+        ox = r.uniform(3.0, 14.0, (B, n_obs))
+        oy = r.uniform(-2.5, 2.5, (B, n_obs)) + np.where(
+            r.uniform(size=(B, n_obs)) < 0.5, -1.0, 1.0)
+        obs0c = np.stack([ox, oy], axis=-1)
+        velc = np.stack([r.uniform(-0.15, 0.15, (B, n_obs)),
+                         -np.sign(oy) * r.uniform(0.3, 1.0, (B, n_obs))],
+                        axis=-1)
+        return (jnp.asarray(x0c), jnp.asarray(obs0c), jnp.asarray(velc))
+
+    mc = cr(*contouring_scene(0))
+    float(np.mean(np.asarray(mc.progress)))
+    ts = []
+    for i in range(4):
+        a = contouring_scene(i + 1)
+        t0 = time.perf_counter()
+        mc = cr(*a)
+        float(np.mean(np.asarray(mc.progress)))
+        ts.append(time.perf_counter() - t0)
+    dt_s = float(np.median(ts))
+    result_c = {
+        "metric": "contouring_episodes_per_s", "value": round(B / dt_s, 1),
+        "unit": "episodes/s", "batch": B, "n_ticks": n_ticks, "horizon": N,
+        "wall_s_per_batch": round(dt_s, 3),
+        "closed_loop_ticks_per_s": round(B * n_ticks / dt_s, 1),
+        "mean_progress_m": round(float(np.mean(np.asarray(mc.progress))), 2),
+        "collision_rate": round(float(np.mean(np.asarray(mc.collided))), 4),
+        "solve_success": round(
+            float(np.mean(np.asarray(mc.solve_success_rate))), 4),
+        "platform": platform,
+    }
+    print(json.dumps(result_c), flush=True)
+
 
 if __name__ == "__main__":
     main()
