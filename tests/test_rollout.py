@@ -111,3 +111,30 @@ def test_contouring_rollout_follows_path_and_avoids():
     assert float(np.mean(np.asarray(m.solve_success_rate))) >= 0.95
     # Lateral deviations stay bounded (avoidance, not divergence)
     assert float(np.max(np.asarray(m.max_lateral))) < 2.0
+
+
+def test_rollout_shards_over_episode_axis():
+    """Scaling demo: the Monte-Carlo evaluator is embarrassingly parallel
+    over episodes — sharding the batch over an 8-device mesh must produce
+    the unsharded results (XLA partitions the whole scan; no cross-episode
+    communication exists to get wrong)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    rollout, _ = make_batch_rollout(n_obstacles=2, N=6, n_ticks=8,
+                                    dtype=jnp.float64, backend="xla")
+    B = 16
+    x0, goal, obs0, obs_vel = sample_scenes(B, 2, seed=5)
+    args = tuple(map(jnp.asarray, (x0, goal, obs0, obs_vel)))
+    ref = rollout(*args)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), axis_names=("episodes",))
+    shardings = [NamedSharding(mesh, P("episodes", *([None] * (a.ndim - 1))))
+                 for a in args]
+    sharded_args = [jax.device_put(a, s) for a, s in zip(args, shardings)]
+    out = rollout(*sharded_args)
+    # Outputs are sharded over the same axis and numerically identical
+    np.testing.assert_allclose(np.asarray(out.min_obstacle_dist),
+                               np.asarray(ref.min_obstacle_dist), atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(out.reached),
+                                  np.asarray(ref.reached))
+    assert len(out.final_state.sharding.device_set) == 8
