@@ -111,7 +111,6 @@ def main():
     log(f"contouring: B={B} episodes, compiling...")
     cr, _ = make_contouring_rollout(n_obstacles=n_obs, N=N, n_ticks=n_ticks,
                                     dtype=jnp.float32)
-    rng = np.random.default_rng(0)
 
     def contouring_scene(seed):
         r = np.random.default_rng(seed)
