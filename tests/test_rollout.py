@@ -138,3 +138,23 @@ def test_rollout_shards_over_episode_axis():
     np.testing.assert_array_equal(np.asarray(out.reached),
                                   np.asarray(ref.reached))
     assert len(out.final_state.sharding.device_set) == 8
+
+
+def test_multirobot_triggered_communication_reduces_traffic():
+    """Event-triggered broadcast (decideCommunication, jules_…:1400-1482) in
+    the device evaluator: GEOMETRIC + TIME + INFEASIBLE triggers cut the
+    communication rate by the fork's headline 60-80 % while preserving
+    safety and goal completion on the antipodal-circle benchmark."""
+    from oscar_mpc_planner_mr_modification_tpu.parallel.rollout import (
+        antipodal_circle_scenes, make_multirobot_rollout)
+
+    x0, goals = antipodal_circle_scenes(8, 4, radius=3.0, seed=2)
+    rollout, _ = make_multirobot_rollout(
+        n_robots=4, N=12, n_ticks=55, dtype=jnp.float64, backend="xla",
+        comm="triggered", geometric_threshold=0.5, heartbeat_ticks=10)
+    m = rollout(jnp.asarray(x0), jnp.asarray(goals))
+    assert bool(np.all(np.asarray(m.all_reached)))
+    assert not bool(np.any(np.asarray(m.collided)))
+    assert float(np.min(np.asarray(m.min_robot_dist))) >= 0.78
+    rate = float(np.mean(np.asarray(m.comm_rate)))
+    assert 0.1 <= rate <= 0.6, rate  # 40-90 % reduction vs always-broadcast
