@@ -406,7 +406,8 @@ class ContouringRolloutMetrics(NamedTuple):
 def make_contouring_rollout(n_obstacles: int = 3, N: int = 20,
                             n_ticks: int = 80, config: SQPConfig = None,
                             dtype=jnp.float32, backend: str = "auto",
-                            settings=None, obstacle_radius: float = 0.3):
+                            settings=None, obstacle_radius: float = 0.3,
+                            per_episode_weights: tuple = ()):
     """Closed-loop MPCC path following on device (BASELINE config 2: the
     contouring model + ellipsoidal obstacles along a straight reference path).
 
@@ -416,6 +417,13 @@ def make_contouring_rollout(n_obstacles: int = 3, N: int = 20,
     per-stage obstacle predictions are refilled, mirroring the host planner
     loop. Returns ``(rollout, ocp)``; ``rollout(x0 (B, nx),
     obs0 (B, n_obs, 2), obs_vel (B, n_obs, 2)) -> ContouringRolloutMetrics``.
+
+    ``per_episode_weights``: names of weight parameters (e.g. ``("contour",
+    "reference_velocity")``) that become PER-EPISODE inputs — ``rollout``
+    then takes one extra ``(B,)`` array per name, appended in order. One
+    compiled evaluator thus sweeps a whole weight grid in a single dispatch:
+    the Monte-Carlo analog of the reference's hand-moved rqt_reconfigure
+    sliders (solver_generator/generate_cpp_files.py:263-349).
     """
     from ..models import ContouringSecondOrderUnicycleModel
     from ..modules import (ContouringModule, EllipsoidConstraintModule,
@@ -491,8 +499,14 @@ def make_contouring_rollout(n_obstacles: int = 3, N: int = 20,
             P = P.at[:, :, idx[f"spline_x{i}_d"]].set(start[:, None])
         return P
 
+    weight_cols = np.array([idx[name] for name in per_episode_weights],
+                           dtype=int)
+
     @jax.jit
-    def rollout(x0, obs0, obs_vel):
+    def rollout(x0, obs0, obs_vel, *weight_values):
+        assert len(weight_values) == len(per_episode_weights), (
+            f"expected {len(per_episode_weights)} per-episode weight arrays "
+            f"({per_episode_weights}), got {len(weight_values)}")
         B = x0.shape[0]
         x0 = x0.astype(dtype)
         obs_vel = obs_vel.astype(dtype)
@@ -505,6 +519,8 @@ def make_contouring_rollout(n_obstacles: int = 3, N: int = 20,
             s_anchor = jnp.clip(x[:, 0], 0.0, path_len)
             x = x.at[:, i_s].set(s_anchor)
             P = jnp.broadcast_to(jnp.asarray(base_p, dtype), (B, N, npar))
+            for col, vals in zip(weight_cols, weight_values):
+                P = P.at[:, :, col].set(vals.astype(dtype)[:, None])
             P = fill_spline_segments(P, s_anchor, B)
             pred = obs[:, None] + obs_vel[:, None] * stage_t[None, :, None, None]
             P = P.at[:, :, ox_cols].set(pred[..., 0])

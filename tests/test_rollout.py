@@ -158,3 +158,38 @@ def test_multirobot_triggered_communication_reduces_traffic():
     assert float(np.min(np.asarray(m.min_robot_dist))) >= 0.78
     rate = float(np.mean(np.asarray(m.comm_rate)))
     assert 0.1 <= rate <= 0.6, rate  # 40-90 % reduction vs always-broadcast
+
+
+def test_contouring_weight_sweep_single_dispatch():
+    """Per-episode weight inputs: one compiled evaluator sweeps a weight grid
+    in one dispatch (the Monte-Carlo analog of the reference's rqt sliders).
+    Physics must come out monotone: higher reference_velocity -> more
+    progress; higher contour weight -> tighter tracking."""
+    from oscar_mpc_planner_mr_modification_tpu.parallel.rollout import (
+        make_contouring_rollout)
+
+    rng = np.random.default_rng(3)
+    combos = np.array([[0.2, 1.5], [0.2, 2.5], [1.0, 1.5], [1.0, 2.5]])
+    n_scenes, n_obs = 4, 2
+    B = len(combos) * n_scenes
+    rollout, _ = make_contouring_rollout(
+        n_obstacles=n_obs, N=10, n_ticks=50, dtype=jnp.float64, backend="xla",
+        per_episode_weights=("contour", "reference_velocity"))
+    x0 = np.zeros((B, 5))
+    x0[:, 3] = 0.8
+    ox = np.tile(rng.uniform(3.0, 10.0, (n_scenes, n_obs)), (len(combos), 1))
+    oy0 = rng.uniform(-2.5, 2.5, (n_scenes, n_obs)) + 1.0
+    oy = np.tile(oy0, (len(combos), 1))
+    obs0 = np.stack([ox, oy], axis=-1)
+    vel = np.tile(np.stack(
+        [rng.uniform(-0.1, 0.1, (n_scenes, n_obs)),
+         -np.sign(oy0) * rng.uniform(0.3, 0.8, (n_scenes, n_obs))],
+        axis=-1), (len(combos), 1, 1))
+    wc = np.repeat(combos[:, 0], n_scenes)
+    wv = np.repeat(combos[:, 1], n_scenes)
+    m = rollout(jnp.asarray(x0), jnp.asarray(obs0), jnp.asarray(vel),
+                jnp.asarray(wc), jnp.asarray(wv))
+    prog = np.asarray(m.progress).reshape(len(combos), n_scenes).mean(1)
+    lat = np.asarray(m.max_lateral).reshape(len(combos), n_scenes).mean(1)
+    assert prog[1] > prog[0] + 3.0 and prog[3] > prog[2] + 3.0  # v_ref
+    assert lat[2] < lat[0] and lat[3] < lat[1]  # contour weight
