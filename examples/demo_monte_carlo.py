@@ -55,6 +55,42 @@ def main():
               f"{float(np.mean(np.asarray(m.min_obstacle_dist))):>9.2f} "
               f"{wall:>7.2f}")
 
+    # Controller tuning in one dispatch: per-episode weight inputs sweep a
+    # (contour x reference_velocity) grid against shared scenes — the
+    # Monte-Carlo analog of the reference's rqt_reconfigure sliders.
+    from oscar_mpc_planner_mr_modification_tpu.parallel.rollout import (
+        make_contouring_rollout)
+
+    rng = np.random.default_rng(0)
+    n_w = 4 if not on_tpu else 8
+    n_scenes, n_obs = (4, 2) if not on_tpu else (16, 3)
+    wc_grid = np.geomspace(0.1, 1.5, n_w)
+    wv_grid = np.linspace(1.5, 3.0, n_w)
+    combos = np.stack(np.meshgrid(wc_grid, wv_grid, indexing="ij"),
+                      axis=-1).reshape(-1, 2)
+    Bw = len(combos) * n_scenes
+    rollout, _ = make_contouring_rollout(
+        n_obstacles=n_obs, N=N, n_ticks=n_ticks, dtype=dtype,
+        per_episode_weights=("contour", "reference_velocity"))
+    x0 = np.zeros((Bw, 5))
+    x0[:, 3] = 0.8
+    ox = np.tile(rng.uniform(3.0, 10.0, (n_scenes, n_obs)), (len(combos), 1))
+    oy0 = rng.uniform(-2.5, 2.5, (n_scenes, n_obs)) + 1.0
+    oy = np.tile(oy0, (len(combos), 1))
+    vel = np.tile(np.stack(
+        [rng.uniform(-0.1, 0.1, (n_scenes, n_obs)),
+         -np.sign(oy0) * rng.uniform(0.3, 0.8, (n_scenes, n_obs))],
+        axis=-1), (len(combos), 1, 1))
+    m = rollout(jnp.asarray(x0), jnp.asarray(np.stack([ox, oy], axis=-1)),
+                jnp.asarray(vel), jnp.asarray(np.repeat(combos[:, 0], n_scenes)),
+                jnp.asarray(np.repeat(combos[:, 1], n_scenes)))
+    prog = np.asarray(m.progress).reshape(len(combos), n_scenes).mean(1)
+    coll = np.asarray(m.collided).reshape(len(combos), n_scenes).mean(1)
+    best = int(np.argmax(np.where(coll == 0, prog, -1.0)))
+    print(f"\nweight sweep ({len(combos)} combos x {n_scenes} scenes, one "
+          f"dispatch): best safe combo contour={combos[best, 0]:.2f} "
+          f"v_ref={combos[best, 1]:.2f} -> {prog[best]:.1f} m progress")
+
 
 if __name__ == "__main__":
     main()
