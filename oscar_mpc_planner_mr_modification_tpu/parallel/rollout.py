@@ -407,7 +407,9 @@ def make_contouring_rollout(n_obstacles: int = 3, N: int = 20,
                             n_ticks: int = 80, config: SQPConfig = None,
                             dtype=jnp.float32, backend: str = "auto",
                             settings=None, obstacle_radius: float = 0.3,
-                            per_episode_weights: tuple = ()):
+                            per_episode_weights: tuple = (),
+                            constraints: str = "ellipsoid",
+                            risk: float = 0.05, sigma_step: float = 0.05):
     """Closed-loop MPCC path following on device (BASELINE config 2: the
     contouring model + ellipsoidal obstacles along a straight reference path).
 
@@ -424,14 +426,27 @@ def make_contouring_rollout(n_obstacles: int = 3, N: int = 20,
     compiled evaluator thus sweeps a whole weight grid in a single dispatch:
     the Monte-Carlo analog of the reference's hand-moved rqt_reconfigure
     sliders (solver_generator/generate_cpp_files.py:263-349).
+
+    ``constraints="gaussian"`` runs the CC-MPC flavor (BASELINE config 3)
+    instead of ellipsoids: linear chance constraints at risk level ``risk``
+    against per-stage uncertainty grown on device as σ_k = σ·√k
+    (propagatePredictionUncertainty, data_preparation.cpp:175-191, with
+    σ = ``sigma_step`` per step).
     """
     from ..models import ContouringSecondOrderUnicycleModel
     from ..modules import (ContouringModule, EllipsoidConstraintModule,
-                           ModuleManager, MPCBaseModule)
+                           GaussianConstraintModule, ModuleManager,
+                           MPCBaseModule)
     from ..solver import build_ocp
     from ..utils import default_settings
 
+    if constraints not in ("ellipsoid", "gaussian"):
+        raise ValueError(f"constraints must be 'ellipsoid' or 'gaussian', "
+                         f"got {constraints!r}")
+    gaussian = constraints == "gaussian"
     settings = settings or default_settings(N=N, max_obstacles=n_obstacles)
+    if gaussian:
+        settings["probabilistic"]["risk"] = risk
     mm = ModuleManager()
     base = mm.add_module(MPCBaseModule(settings))
     base.weigh_variable("a", "acceleration")
@@ -439,7 +454,8 @@ def make_contouring_rollout(n_obstacles: int = 3, N: int = 20,
     base.weigh_variable("v", ["velocity", "reference_velocity"],
                         cost_function=lambda x, w: w[0] * (x - w[1]) ** 2)
     mm.add_module(ContouringModule(settings))
-    mm.add_module(EllipsoidConstraintModule(settings))
+    mm.add_module(GaussianConstraintModule(settings) if gaussian
+                  else EllipsoidConstraintModule(settings))
     ocp = build_ocp(ContouringSecondOrderUnicycleModel(), mm, settings)
 
     if config is None:
@@ -475,14 +491,27 @@ def make_contouring_rollout(n_obstacles: int = 3, N: int = 20,
     base_p[idx["terminal_contouring"]] = w["terminal_contouring"]
     base_p[idx["ego_disc_radius"]] = robot_radius
     base_p[idx["ego_disc_0_offset"]] = 0.0
+    obst = "gaussian_obst" if gaussian else "ellipsoid_obst"
+    # Per-stage uncertainty growth for the CC-MPC flavor: sigma_k = sigma*sqrt(k+1)
+    # (the on-device twin of propagatePredictionUncertainty)
+    sigma_k = sigma_step * np.sqrt(np.arange(1, N + 1))
     for i in range(n_obstacles):
-        base_p[idx[f"ellipsoid_obst_{i}_psi"]] = 0.0
-        base_p[idx[f"ellipsoid_obst_{i}_major"]] = 0.0
-        base_p[idx[f"ellipsoid_obst_{i}_minor"]] = 0.0
-        base_p[idx[f"ellipsoid_obst_{i}_chi"]] = 1.0
-        base_p[idx[f"ellipsoid_obst_{i}_r"]] = obstacle_radius
-    ox_cols = np.array([idx[f"ellipsoid_obst_{i}_x"] for i in range(n_obstacles)])
-    oy_cols = np.array([idx[f"ellipsoid_obst_{i}_y"] for i in range(n_obstacles)])
+        if gaussian:
+            base_p[idx[f"gaussian_obst_{i}_risk"]] = risk
+            base_p[idx[f"gaussian_obst_{i}_r"]] = obstacle_radius
+        else:
+            base_p[idx[f"ellipsoid_obst_{i}_psi"]] = 0.0
+            base_p[idx[f"ellipsoid_obst_{i}_major"]] = 0.0
+            base_p[idx[f"ellipsoid_obst_{i}_minor"]] = 0.0
+            base_p[idx[f"ellipsoid_obst_{i}_chi"]] = 1.0
+            base_p[idx[f"ellipsoid_obst_{i}_r"]] = obstacle_radius
+    base_stage = np.tile(base_p, (N, 1))  # (N, npar): stage-dependent sigmas
+    if gaussian:
+        for i in range(n_obstacles):
+            base_stage[:, idx[f"gaussian_obst_{i}_major"]] = sigma_k
+            base_stage[:, idx[f"gaussian_obst_{i}_minor"]] = sigma_k
+    ox_cols = np.array([idx[f"{obst}_{i}_x"] for i in range(n_obstacles)])
+    oy_cols = np.array([idx[f"{obst}_{i}_y"] for i in range(n_obstacles)])
     stage_t = jnp.arange(N, dtype=dtype) * dt
     collision_dist = robot_radius + obstacle_radius
 
@@ -518,7 +547,7 @@ def make_contouring_rollout(n_obstacles: int = 3, N: int = 20,
             # Progress re-anchor: closest path point of the straight path
             s_anchor = jnp.clip(x[:, 0], 0.0, path_len)
             x = x.at[:, i_s].set(s_anchor)
-            P = jnp.broadcast_to(jnp.asarray(base_p, dtype), (B, N, npar))
+            P = jnp.broadcast_to(jnp.asarray(base_stage, dtype), (B, N, npar))
             for col, vals in zip(weight_cols, weight_values):
                 P = P.at[:, :, col].set(vals.astype(dtype)[:, None])
             P = fill_spline_segments(P, s_anchor, B)

@@ -193,3 +193,34 @@ def test_contouring_weight_sweep_single_dispatch():
     lat = np.asarray(m.max_lateral).reshape(len(combos), n_scenes).mean(1)
     assert prog[1] > prog[0] + 3.0 and prog[3] > prog[2] + 3.0  # v_ref
     assert lat[2] < lat[0] and lat[3] < lat[1]  # contour weight
+
+
+def test_ccmpc_rollout_keeps_larger_margins():
+    """CC-MPC flavor (BASELINE config 3): chance constraints with on-device
+    uncertainty growth must keep LARGER obstacle margins than deterministic
+    ellipsoids on identical scenes, at full solve success."""
+    from oscar_mpc_planner_mr_modification_tpu.parallel.rollout import (
+        make_contouring_rollout)
+
+    rng = np.random.default_rng(3)
+    B, n_obs = 8, 2
+    x0 = np.zeros((B, 5))
+    x0[:, 3] = 0.8
+    ox = rng.uniform(3.0, 10.0, (B, n_obs))
+    oy = rng.uniform(-2.5, 2.5, (B, n_obs)) + 1.0
+    obs0 = np.stack([ox, oy], axis=-1)
+    vel = np.stack([rng.uniform(-0.1, 0.1, (B, n_obs)),
+                    -np.sign(oy) * rng.uniform(0.3, 0.8, (B, n_obs))], axis=-1)
+    args = (jnp.asarray(x0), jnp.asarray(obs0), jnp.asarray(vel))
+
+    mins = {}
+    for cons in ("ellipsoid", "gaussian"):
+        rollout, _ = make_contouring_rollout(
+            n_obstacles=n_obs, N=10, n_ticks=50, dtype=jnp.float64,
+            backend="xla", constraints=cons, risk=0.05, sigma_step=0.04)
+        m = rollout(*args)
+        assert float(np.mean(np.asarray(m.solve_success_rate))) >= 0.99, cons
+        assert not bool(np.any(np.asarray(m.collided))), cons
+        assert float(np.min(np.asarray(m.progress))) > 12.0, cons
+        mins[cons] = float(np.min(np.asarray(m.min_obstacle_dist)))
+    assert mins["gaussian"] > mins["ellipsoid"] + 0.05, mins
