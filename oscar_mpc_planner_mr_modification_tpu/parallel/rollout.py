@@ -394,6 +394,298 @@ def antipodal_circle_scenes(B: int, n_robots: int, radius: float = 3.0,
     return x0, goals
 
 
+class TMPCRolloutMetrics(NamedTuple):
+    progress: jnp.ndarray  # (B,) final path progress (straight path: x)
+    collided: jnp.ndarray  # (B,) bool — any tick with disc overlap
+    plan_success_rate: jnp.ndarray  # (B,) mean per-tick "any planner feasible"
+    planner_success_rate: jnp.ndarray  # (B,) mean over (ticks, planners)
+    guided_selected_rate: jnp.ndarray  # (B,) ticks where a guided planner won
+    topology_switch_rate: jnp.ndarray  # (B,) selected-signature changes / tick
+    min_obstacle_dist: jnp.ndarray  # (B,)
+    final_state: jnp.ndarray  # (B, nx)
+
+
+def make_tmpc_rollout(n_obstacles: int = 4, N: int = 20, n_ticks: int = 60,
+                      n_paths: int = 4, config: SQPConfig = None,
+                      dtype=jnp.float32, backend: str = "auto",
+                      obstacle_radius: float = 0.3):
+    """Closed-loop T-MPC++ entirely on device: per tick EVERY episode runs the
+    full parallel-homotopy planner — ``n_paths`` guided planners with
+    topology-distinct warmstart bundles + linearized topology constraints
+    (guidance_constraints.cpp:304-421) plus one unguided planner warmstarted
+    from the previous winner (T-MPC++'s extra planner, :335-338) — then the
+    fair-cost selection with consistency preference picks the executed plan
+    (:374-420, 572-590). All B×(n_paths+1) solves per tick are one fused
+    kernel call inside one ``lax.scan``.
+
+    The in-graph stand-ins for the host machinery (each the same math the
+    host path runs, traced instead of looped):
+
+    - guidance trajectories -> lateral-offset seed bundles around the path
+      (the goal-grid diversification of setGoals, cpp:131-206, without the
+      PRM graph search, which is host-side by design — guidance/global_guidance.py);
+    - topology constraints -> halfspaces linearized at the seed positions
+      against per-stage obstacle centers (TMPCOptimizer._fill_topology_constraints);
+    - homology classes -> per-obstacle passing-side signatures at closest
+      approach (the Winding comparator's decision for 2D passing,
+      guidance/homotopy.py); consistency cost + the selection weight fire on
+      signature match like the host path fires on topology-class match
+      (cpp:953-991, 418-419).
+
+    Returns ``(rollout, ocp)`` where ``rollout(x0 (B, nx), obs0 (B, n_obs, 2),
+    obs_vel (B, n_obs, 2)) -> TMPCRolloutMetrics``.
+    """
+    from ..benchmarks import tmpc_bench_ocp
+
+    ocp, settings = tmpc_bench_ocp(N=N, n_paths=n_paths,
+                                   max_obstacles=n_obstacles)
+    if config is None:
+        config = SQPConfig(n_sqp=8, n_qp_iter=8, mu_min=1e-6, w_max=1e6,
+                           reg_eps=1e-4, regularization="gershgorin",
+                           track_best=False,
+                           qp_iter_schedule=((4, 4), (4, 8)))
+    if backend == "auto":
+        backend = "fused" if jax.default_backend() == "tpu" else "xla"
+    solve = make_fleet_sqp_solver(ocp, config, dtype=dtype, backend=backend)
+
+    reg = ocp.registry
+    idx = reg.save_map()
+    npar, nvar, nu, nx = ocp.npar, ocp.nvar, ocp.nu, ocp.nx
+    dt = ocp.dt
+    model = ocp.model
+    w = settings["weights"]
+    robot_radius = float(settings["robot_radius"])
+    P = n_paths + 1
+    n_seg = int(settings["contouring"]["num_segments"])
+    seg_len = 5.0
+    path_len = 5.0 * 10
+    ix, iy = model.var_index("x"), model.var_index("y")
+    ipsi, ivv = model.var_index("psi"), model.var_index("v")
+    isp = model.var_index("spline")
+    i_s, iv = model.state_index("spline"), model.state_index("v")
+    sel_weight = float(settings["guidance"]["selection_weight_consistency"])
+    w_cons = float(w.get("consistency", 0.0))
+
+    base_p = np.zeros(npar)
+    for name in ("acceleration", "angular_velocity", "velocity",
+                 "reference_velocity", "contour", "lag", "terminal_angle",
+                 "terminal_contouring"):
+        base_p[idx[name]] = w[name]
+    base_p[idx["ego_disc_radius"]] = robot_radius
+    base_p[idx["ego_disc_0_offset"]] = 0.0
+    for i in range(n_obstacles):
+        base_p[idx[f"ellipsoid_obst_{i}_psi"]] = 0.0
+        base_p[idx[f"ellipsoid_obst_{i}_major"]] = 0.0
+        base_p[idx[f"ellipsoid_obst_{i}_minor"]] = 0.0
+        base_p[idx[f"ellipsoid_obst_{i}_chi"]] = 1.0
+        base_p[idx[f"ellipsoid_obst_{i}_r"]] = obstacle_radius
+    # Inactive topology rows everywhere the per-planner fill doesn't override
+    # (a zero row would be a degenerate always-active constraint)
+    a1_cols = np.asarray(reg.bundle_indices("lin_constraint_a1"))
+    a2_cols = np.asarray(reg.bundle_indices("lin_constraint_a2"))
+    b_cols = np.asarray(reg.bundle_indices("lin_constraint_b"))
+    base_p[a1_cols] = 1.0
+    base_p[b_cols] = 1.0e4
+    base_j = jnp.asarray(base_p, dtype)
+    ox_cols = np.array([idx[f"ellipsoid_obst_{i}_x"] for i in range(n_obstacles)])
+    oy_cols = np.array([idx[f"ellipsoid_obst_{i}_y"] for i in range(n_obstacles)])
+    i_wc = idx["consistency_weight"]
+    i_px, i_py = idx["prev_traj_x"], idx["prev_traj_y"]
+    n_rows = min(n_obstacles, len(a1_cols))
+    lin_radius = 1e-3 + robot_radius
+    collision_dist = robot_radius + obstacle_radius
+
+    # Lateral-offset seed bundle shapes (build_tmpc_fleet's diversification)
+    lateral = np.array([((-1) ** p) * (0.4 + 0.4 * (p // 2))
+                        for p in range(n_paths)] + [0.0])  # (P,)
+    envelope = np.sin(np.linspace(0.0, np.pi, N + 1))  # (N+1,)
+    offsets = jnp.asarray(lateral[:, None] * envelope[None], dtype)  # (P, N+1)
+    t_grid = jnp.arange(N + 1, dtype=dtype) * dt
+    stage_t = jnp.arange(N, dtype=dtype) * dt  # stage k reads time k*dt
+    cons_gate = np.zeros(N)  # stage gating k in [1, N-2] (cpp:996-1040)
+    cons_gate[1 : N - 1] = 1.0
+    cons_gate_j = jnp.asarray(cons_gate, dtype)
+
+    def fill_spline_segments(P_arr, s_anchor):
+        """Sliding straight-path window (x(s)=s), as in make_contouring_rollout."""
+        first = jnp.clip(jnp.floor(s_anchor / seg_len), 0,
+                         path_len / seg_len - 1.0)
+        for i in range(n_seg):
+            start = (first + i) * seg_len
+            P_arr = P_arr.at[..., idx[f"spline_x{i}_c"]].set(1.0)
+            P_arr = P_arr.at[..., idx[f"spline{i}_start"]].set(
+                start[:, None, None])
+            P_arr = P_arr.at[..., idx[f"spline_x{i}_d"]].set(
+                start[:, None, None])
+        return P_arr
+
+    def passing_signature(pos, centers):
+        """(B, P, N-1, 2) trajectories vs (B, N-1, n_obs, 2) obstacle centers
+        -> per-obstacle passing side at closest approach: the Winding
+        comparator's 2D decision (guidance/homotopy.py), in-graph."""
+        diff = pos[..., None, :] - centers[:, None]  # (B, P, N-1, n_obs, 2)
+        d2 = jnp.sum(diff**2, axis=-1)  # (..., N-1, n_obs)
+        k_star = jnp.argmin(d2, axis=-2, keepdims=True)  # (..., 1, n_obs)
+        dy = jnp.take_along_axis(diff[..., 1], k_star, axis=-2)[..., 0, :]
+        return jnp.sign(dy)  # (..., n_obs) in {-1, 0, +1}
+
+    @jax.jit
+    def rollout(x0, obs0, obs_vel):
+        B = x0.shape[0]
+        x0 = x0.astype(dtype)
+        obs_vel = obs_vel.astype(dtype)
+        Z0 = jnp.zeros((B, N + 1, nvar), dtype)
+        Z0 = Z0.at[:, :, nu:].set(x0[:, None, :])
+        prev0 = Z0[:, :N, [ix, iy]]  # (B, N, 2) placeholder prev trajectory
+        sig0 = jnp.zeros((B, n_obstacles), dtype)
+        has_prev0 = jnp.zeros((B,), bool)
+
+        def tick(carry, _):
+            x, obs, Z_best, prev, prev_sig, has_prev = carry
+            s_anchor = jnp.clip(x[:, 0], 0.0, path_len)
+            x = x.at[:, i_s].set(s_anchor)
+
+            # Obstacle predictions: stage k at k*dt; k=0 rows are dummies at
+            # +50 m (the reference's k=0 dummy, ellipsoid_constraints.cpp:62)
+            pred = obs[:, None] + obs_vel[:, None] * stage_t[None, :, None, None]
+            pred = pred.at[:, 0].set(50.0)
+
+            # --- Warmstart seeds (B, P, N+1, nvar) ---------------------------
+            v_seed = jnp.maximum(x[:, iv], 0.5)
+            xs = x[:, None, None, 0] + v_seed[:, None, None] * t_grid  # (B,1,N+1)
+            decay = jnp.clip(1.0 - t_grid / (N * dt), 0.0, 1.0)
+            ys = (x[:, None, None, 1] * decay + offsets[None])  # (B, P, N+1)
+            xs = jnp.broadcast_to(xs, ys.shape)
+            dx = jnp.gradient(xs, axis=-1) / dt
+            dy = jnp.gradient(ys, axis=-1) / dt
+            seeds = jnp.zeros((B, P, N + 1, nvar), dtype)
+            seeds = seeds.at[..., ix].set(xs)
+            seeds = seeds.at[..., iy].set(ys)
+            seeds = seeds.at[..., ipsi].set(jnp.arctan2(dy, dx))
+            seeds = seeds.at[..., ivv].set(jnp.hypot(dx, dy))
+            seeds = seeds.at[..., isp].set(xs)
+            # Unguided planner: previous winner shifted forward (cpp:335-338)
+            Z_shift = jnp.concatenate([Z_best[:, 1:], Z_best[:, -1:]], axis=1)
+            seeds = seeds.at[:, n_paths].set(jnp.where(
+                has_prev[:, None, None], Z_shift, seeds[:, n_paths]))
+            seeds = seeds.at[:, :, 0, nu:].set(x[:, None, :])
+
+            # --- Parameters (B, P, N, npar) ----------------------------------
+            Pa = jnp.broadcast_to(base_j, (B, P, N, npar))
+            Pa = fill_spline_segments(Pa, s_anchor)
+            Pa = Pa.at[..., ox_cols].set(pred[:, None, ..., 0])
+            Pa = Pa.at[..., oy_cols].set(pred[:, None, ..., 1])
+
+            # Topology halfspaces for guided planners at stages 1..N-1
+            # (TMPCOptimizer._fill_topology_constraints; centers at (k-1)*dt)
+            c_k = (obs[:, None] +
+                   obs_vel[:, None] * stage_t[None, :N - 1, None, None])
+            pos_g = seeds[:, :n_paths, 1:N][..., [ix, iy]]  # (B,Pg,N-1,2)
+            diff = c_k[:, None, :, :n_rows] - pos_g[..., None, :]
+            dist = jnp.linalg.norm(diff, axis=-1)  # (B, Pg, N-1, n_rows)
+            ok = dist >= lin_radius + 1e-6
+            a_n = diff / jnp.maximum(dist, 1e-30)[..., None]
+            b_v = (jnp.sum(a_n * c_k[:, None, :, :n_rows], axis=-1)
+                   - lin_radius)
+            Pa = Pa.at[:, :n_paths, 1:N, a1_cols[:n_rows]].set(
+                jnp.where(ok, a_n[..., 0], 1.0))
+            Pa = Pa.at[:, :n_paths, 1:N, a2_cols[:n_rows]].set(
+                jnp.where(ok, a_n[..., 1], 0.0))
+            Pa = Pa.at[:, :n_paths, 1:N, b_cols[:n_rows]].set(
+                jnp.where(ok, b_v, 1.0e4))
+
+            # Consistency on signature match (cpp:953-991): prev trajectory
+            # params stage-gated to k in [1, N-2]
+            sig = passing_signature(seeds[:, :, 1:N][..., [ix, iy]],
+                                    c_k)  # (B, P, n_obs)
+            matches = (jnp.all(sig == prev_sig[:, None], axis=-1)
+                       & has_prev[:, None])  # (B, P)
+            cons_w = jnp.where(matches, w_cons, 0.0)  # (B, P)
+            Pa = Pa.at[..., i_wc].set(
+                cons_w[:, :, None] * cons_gate_j[None, None])
+            Pa = Pa.at[..., i_px].set(
+                prev[:, None, :, 0] * cons_gate_j[None, None])
+            Pa = Pa.at[..., i_py].set(
+                prev[:, None, :, 1] * cons_gate_j[None, None])
+
+            # --- Batched solve: one kernel call for B*P problems -------------
+            flat = lambda a: a.reshape((B * P,) + a.shape[2:])
+            xin = jnp.broadcast_to(x[:, None], (B, P, nx))
+            res = solve(flat(Pa), flat(xin), flat(seeds))
+            succ = res.success.reshape(B, P)
+            z = res.z.reshape(B, P, N + 1, nvar)
+            costs = res.cost.reshape(B, P)
+
+            # Fair-cost comparison (cpp:374-420): subtract realized
+            # consistency cost; prefer the previously-selected signature
+            pos_sol = z[:, :, 1 : N - 1][..., [ix, iy]]
+            cons_cost = jnp.sum(
+                (pos_sol - prev[:, None, 1 : N - 1]) ** 2, axis=(-2, -1))
+            costs = costs - cons_w * cons_cost
+            costs = jnp.where(matches, costs * sel_weight, costs)
+
+            # Selection (FindBestPlanner, cpp:572-590)
+            sel_costs = jnp.where(succ, costs, jnp.inf)
+            best = jnp.argmin(sel_costs, axis=1)  # (B,)
+            any_ok = jnp.any(succ, axis=1)
+            take = lambda arr: jnp.take_along_axis(
+                arr, best[:, None, None, None], axis=1)[:, 0]
+            z_best = take(z)  # (B, N+1, nvar)
+            sig_best = jnp.take_along_axis(
+                sig, best[:, None, None], axis=1)[:, 0]  # (B, n_obs)
+
+            u_best = z_best[:, 0, :nu]
+            v = x[:, iv]
+            brake = jnp.stack(
+                [jnp.clip(-v / dt, -2.0, 2.0), jnp.zeros_like(v)], axis=1)
+            u = jnp.where(any_ok[:, None], u_best, brake)
+            x_new = jax.vmap(lambda xi, ui: model.discrete_dynamics(
+                xi, ui, dt))(x, u)
+            obs_new = obs + obs_vel * dt
+
+            switch = (jnp.any(sig_best != prev_sig, axis=-1)
+                      & has_prev & any_ok)
+            prev_new = jnp.where(any_ok[:, None, None],
+                                 z_best[:, :N, [ix, iy]], prev)
+            sig_new = jnp.where(any_ok[:, None], sig_best, prev_sig)
+            Z_next = jnp.where(any_ok[:, None, None], z_best, Z0)
+
+            d = jnp.min(jnp.linalg.norm(
+                obs_new - x_new[:, None, :2], axis=-1), axis=1)
+            guided_sel = any_ok & (best < n_paths)
+            out = (succ, any_ok, guided_sel, switch, d)
+            return ((x_new, obs_new, Z_next, prev_new, sig_new, any_ok), out)
+
+        (x_f, _, _, _, _, _), (succ, any_ok, guided_sel, switch, dists) = (
+            jax.lax.scan(tick, (x0, obs0.astype(dtype), Z0, prev0, sig0,
+                                has_prev0), None, length=n_ticks))
+        return TMPCRolloutMetrics(
+            progress=jnp.clip(x_f[:, 0], 0.0, path_len),
+            collided=jnp.any(dists < collision_dist, axis=0),
+            plan_success_rate=jnp.mean(any_ok.astype(dtype), axis=0),
+            planner_success_rate=jnp.mean(succ.astype(dtype), axis=(0, 2)),
+            guided_selected_rate=jnp.mean(guided_sel.astype(dtype), axis=0),
+            topology_switch_rate=jnp.mean(switch.astype(dtype), axis=0),
+            min_obstacle_dist=jnp.min(dists, axis=0),
+            final_state=x_f,
+        )
+
+    return rollout, ocp
+
+
+def tmpc_scenes(B: int, n_obstacles: int, seed: int = 0):
+    """Crossing-corridor scenes for the T-MPC evaluator (the fleet-bench
+    distribution, benchmarks.build_tmpc_fleet): contouring-unicycle state
+    (x, y, psi, v, spline)."""
+    rng = np.random.default_rng(seed)
+    x0 = np.zeros((B, 5))
+    x0[:, 3] = 1.0
+    obs0 = np.stack([rng.uniform(2.0, 7.0, (B, n_obstacles)),
+                     rng.uniform(-1.5, 1.5, (B, n_obstacles))], axis=-1)
+    obs_vel = rng.uniform(-0.5, 0.5, (B, n_obstacles, 2))
+    return x0, obs0, obs_vel
+
+
 class ContouringRolloutMetrics(NamedTuple):
     progress: jnp.ndarray  # (B,) final path progress s
     collided: jnp.ndarray  # (B,) bool

@@ -224,3 +224,51 @@ def test_ccmpc_rollout_keeps_larger_margins():
         assert float(np.min(np.asarray(m.progress))) > 12.0, cons
         mins[cons] = float(np.min(np.asarray(m.min_obstacle_dist)))
     assert mins["gaussian"] > mins["ellipsoid"] + 0.05, mins
+
+
+def test_tmpc_rollout_parallel_homotopy_closed_loop():
+    """T-MPC++ closed-loop on device: every tick solves n_paths guided
+    planners (lateral-offset seeds + linearized topology constraints) plus
+    one unguided planner warmstarted from the previous winner, then the
+    fair-cost selection with consistency preference executes the best plan
+    (guidance_constraints.cpp:280-590 in one lax.scan)."""
+    from oscar_mpc_planner_mr_modification_tpu.parallel.rollout import (
+        make_tmpc_rollout, tmpc_scenes)
+
+    B, n_obs = 8, 2
+    rollout, ocp = make_tmpc_rollout(n_obstacles=n_obs, N=10, n_ticks=50,
+                                     n_paths=2, dtype=jnp.float64,
+                                     backend="xla")
+    x0, obs0, obs_vel = tmpc_scenes(B, n_obs, seed=4)
+    m = rollout(jnp.asarray(x0), jnp.asarray(obs0), jnp.asarray(obs_vel))
+
+    # Planning works nearly every tick (the plan succeeds if ANY of the
+    # P planners is feasible — T-MPC++'s whole point)
+    assert float(np.mean(np.asarray(m.plan_success_rate))) >= 0.95
+    # ...and beats the per-planner rate (the parallel portfolio pays off)
+    assert (float(np.mean(np.asarray(m.plan_success_rate)))
+            >= float(np.mean(np.asarray(m.planner_success_rate))))
+    # Progress along the path at v_ref ~ 2: well past 10 m in 50 ticks
+    assert float(np.min(np.asarray(m.progress))) > 10.0
+    # Episodes the solver handles stay collision-free
+    handled = np.asarray(m.plan_success_rate) >= 0.9
+    assert not bool(np.any(np.asarray(m.collided) & handled))
+    assert float(np.min(np.asarray(m.min_obstacle_dist)[handled])) >= 0.6
+    # Selection statistics are rates; consistency keeps switching rare
+    for rate in (m.guided_selected_rate, m.topology_switch_rate):
+        r = np.asarray(rate)
+        assert np.all((r >= 0.0) & (r <= 1.0))
+    assert float(np.mean(np.asarray(m.topology_switch_rate))) <= 0.5
+
+
+def test_tmpc_rollout_is_one_jitted_program():
+    from oscar_mpc_planner_mr_modification_tpu.parallel.rollout import (
+        make_tmpc_rollout, tmpc_scenes)
+
+    rollout, _ = make_tmpc_rollout(n_obstacles=2, N=6, n_ticks=4, n_paths=2,
+                                   dtype=jnp.float64, backend="xla")
+    x0, obs0, obs_vel = tmpc_scenes(4, 2, seed=0)
+    shape = jax.eval_shape(rollout, jnp.asarray(x0), jnp.asarray(obs0),
+                           jnp.asarray(obs_vel))
+    assert shape.progress.shape == (4,)
+    assert shape.final_state.shape == (4, 5)
