@@ -79,16 +79,18 @@ def main():
     # shift PSD-ization; runtime fallback to the per-iteration kernel if
     # Mosaic rejects the in-kernel trace. track_best=False is the reference's
     # exact semantics (acados FIXED_STEP, no best-iterate merit tracking).
-    # Inexact-SQP schedule (4 iters @ 4 QP iters, then 4 @ 8): measured on
-    # hardware vs the uniform 10x8 baseline — success 0.9145 vs 0.8872 and
-    # 6.57 vs 10.10 ms per 4608-plan fleet step (tools/exp_iter_schedule.py
-    # for the CPU sweep; same success gate, res_eq <= 1e-2).
-    config = SQPConfig(n_sqp=8, n_qp_iter=8, mu_min=1e-6, w_max=1e6,
+    # Inexact-SQP schedule, round-5 3-phase ramp (2 iters @ 3 QP iters, 2 @ 5,
+    # 2 @ 8): hardware-measured vs round 4's 4x4+4x8 — success 0.9499 vs
+    # 0.9145 AND 4.97 vs 6.57 ms per 4608-plan fleet step (103,101 vs 77,943
+    # plans/s device rate; tools/exp_iter_schedule.py for the CPU sweep,
+    # tools/exp_schedule_hw.py for the hardware confirm; same success gate,
+    # res_eq <= 1e-2, plan-level success 1.0 both ways).
+    config = SQPConfig(n_sqp=6, n_qp_iter=8, mu_min=1e-6, w_max=1e6,
                        reg_eps=1e-4,
                        regularization="gershgorin" if platform == "tpu"
                        else "mirror",
                        track_best=False,
-                       qp_iter_schedule=((4, 4), (4, 8)))
+                       qp_iter_schedule=((2, 3), (2, 5), (2, 8)))
 
     params, xinit, z_init, disabled = build_tmpc_fleet(ocp, settings, batch)
     args = tuple(map(jnp.asarray, (params, xinit, z_init, disabled)))

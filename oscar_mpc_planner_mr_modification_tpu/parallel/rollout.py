@@ -74,10 +74,10 @@ def make_batch_rollout(n_obstacles: int = 3, N: int = 20, n_ticks: int = 60,
     """
     ocp, settings = _goal_ellipsoid_ocp(n_obstacles, N, settings)
     if config is None:
-        config = SQPConfig(n_sqp=8, n_qp_iter=8, mu_min=1e-6, w_max=1e6,
+        config = SQPConfig(n_sqp=6, n_qp_iter=8, mu_min=1e-6, w_max=1e6,
                            reg_eps=1e-4, regularization="gershgorin",
                            track_best=False,
-                           qp_iter_schedule=((4, 4), (4, 8)))
+                           qp_iter_schedule=((2, 3), (2, 5), (2, 8)))
     if backend == "auto":
         backend = "fused" if jax.default_backend() == "tpu" else "xla"
     solve = make_fleet_sqp_solver(ocp, config, dtype=dtype, backend=backend)
@@ -233,6 +233,11 @@ def make_multirobot_rollout(n_robots: int = 4, N: int = 20, n_ticks: int = 60,
     n_others = n_robots - 1
     ocp, settings = _goal_ellipsoid_ocp(n_others, N, settings)
     if config is None:
+        # The joint-planning loop keeps the round-4 schedule: robots consume
+        # each other's PLANS every tick, so looser early QP iterates propagate
+        # between agents — the leaner 3-phase ramp (2x3+2x5+2x8) leaves
+        # near-deadlock episodes unresolved within the tick budget (measured:
+        # 1/8 antipodal-circle episodes at R=4, f64).
         config = SQPConfig(n_sqp=8, n_qp_iter=8, mu_min=1e-6, w_max=1e6,
                            reg_eps=1e-4, regularization="gershgorin",
                            track_best=False,
@@ -440,10 +445,10 @@ def make_tmpc_rollout(n_obstacles: int = 4, N: int = 20, n_ticks: int = 60,
     ocp, settings = tmpc_bench_ocp(N=N, n_paths=n_paths,
                                    max_obstacles=n_obstacles)
     if config is None:
-        config = SQPConfig(n_sqp=8, n_qp_iter=8, mu_min=1e-6, w_max=1e6,
+        config = SQPConfig(n_sqp=6, n_qp_iter=8, mu_min=1e-6, w_max=1e6,
                            reg_eps=1e-4, regularization="gershgorin",
                            track_best=False,
-                           qp_iter_schedule=((4, 4), (4, 8)))
+                           qp_iter_schedule=((2, 3), (2, 5), (2, 8)))
     if backend == "auto":
         backend = "fused" if jax.default_backend() == "tpu" else "xla"
     solve = make_fleet_sqp_solver(ocp, config, dtype=dtype, backend=backend)
@@ -751,10 +756,10 @@ def make_contouring_rollout(n_obstacles: int = 3, N: int = 20,
     ocp = build_ocp(ContouringSecondOrderUnicycleModel(), mm, settings)
 
     if config is None:
-        config = SQPConfig(n_sqp=8, n_qp_iter=8, mu_min=1e-6, w_max=1e6,
+        config = SQPConfig(n_sqp=6, n_qp_iter=8, mu_min=1e-6, w_max=1e6,
                            reg_eps=1e-4, regularization="gershgorin",
                            track_best=False,
-                           qp_iter_schedule=((4, 4), (4, 8)))
+                           qp_iter_schedule=((2, 3), (2, 5), (2, 8)))
     if backend == "auto":
         backend = "fused" if jax.default_backend() == "tpu" else "xla"
     solve = make_fleet_sqp_solver(ocp, config, dtype=dtype, backend=backend)

@@ -196,18 +196,19 @@ def main():
     N = int(os.environ.get("BENCH_N", "20"))
     B = int(os.environ.get("BENCH_MATRIX_B", "512"))
     rng = np.random.default_rng(0)
-    # Same operating point as bench.py: inexact-SQP schedule 4x(qp=4) then
-    # 4x(qp=8) — hardware-measured better success AND ~1.5x device rate vs
-    # the uniform 10x8 baseline (see docs/PERFORMANCE.md). Override with
-    # BENCH_MATRIX_UNIFORM=1 for the old uniform baseline.
+    # Same operating point as bench.py: round-5 3-phase inexact-SQP schedule
+    # 2x(qp=3)+2x(qp=5)+2x(qp=8) — hardware-measured better success AND ~2x
+    # device rate vs the uniform 10x8 baseline (see docs/PERFORMANCE.md).
+    # Override with BENCH_MATRIX_UNIFORM=1 for the old uniform baseline.
     if os.environ.get("BENCH_MATRIX_UNIFORM"):
         cfg = SQPConfig(n_sqp=10, n_qp_iter=8, mu_min=1e-6, w_max=1e6,
                         reg_eps=1e-4, regularization="gershgorin",
                         track_best=False)
     else:
-        cfg = SQPConfig(n_sqp=8, n_qp_iter=8, mu_min=1e-6, w_max=1e6,
+        cfg = SQPConfig(n_sqp=6, n_qp_iter=8, mu_min=1e-6, w_max=1e6,
                         reg_eps=1e-4, regularization="gershgorin",
-                        track_best=False, qp_iter_schedule=((4, 4), (4, 8)))
+                        track_best=False,
+                        qp_iter_schedule=((2, 3), (2, 5), (2, 8)))
 
     backends = ([os.environ["BENCH_MATRIX_BACKEND"]]
                 if os.environ.get("BENCH_MATRIX_BACKEND")

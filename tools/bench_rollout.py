@@ -148,6 +148,50 @@ def main():
     }
     print(json.dumps(result_c), flush=True)
 
+    # Phase 4: closed-loop T-MPC++ — the full parallel-homotopy planner
+    # (n_paths guided + 1 unguided planner, topology constraints, fair-cost
+    # selection with consistency) per tick per episode, all on device.
+    from oscar_mpc_planner_mr_modification_tpu.parallel.rollout import (
+        make_tmpc_rollout, tmpc_scenes)
+
+    n_paths = int(os.environ.get("ROLLOUT_PATHS", "4"))
+    Bt = int(os.environ.get("ROLLOUT_TMPC_B", str(max(B // (n_paths + 1), 1))))
+    n_obs_t = int(os.environ.get("ROLLOUT_TMPC_OBS", "4"))
+    log(f"t-mpc: B={Bt} episodes x {n_paths + 1} planners, compiling...")
+    tr, _ = make_tmpc_rollout(n_obstacles=n_obs_t, N=N, n_ticks=n_ticks,
+                              n_paths=n_paths, dtype=jnp.float32)
+    x0, obs0, obs_vel = tmpc_scenes(Bt, n_obs_t, seed=0)
+    mt = tr(jnp.asarray(x0), jnp.asarray(obs0), jnp.asarray(obs_vel))
+    float(np.mean(np.asarray(mt.progress)))
+    ts = []
+    for i in range(4):
+        a = tuple(map(jnp.asarray, tmpc_scenes(Bt, n_obs_t, seed=i + 1)))
+        t0 = time.perf_counter()
+        mt = tr(*a)
+        float(np.mean(np.asarray(mt.progress)))
+        ts.append(time.perf_counter() - t0)
+    dt_s = float(np.median(ts))
+    result_t = {
+        "metric": "tmpc_episodes_per_s", "value": round(Bt / dt_s, 1),
+        "unit": "episodes/s", "batch": Bt, "n_planners": n_paths + 1,
+        "n_ticks": n_ticks, "horizon": N,
+        "wall_s_per_batch": round(dt_s, 3),
+        "planner_solves_per_s": round(
+            Bt * (n_paths + 1) * n_ticks / dt_s, 1),
+        "mean_progress_m": round(float(np.mean(np.asarray(mt.progress))), 2),
+        "collision_rate": round(float(np.mean(np.asarray(mt.collided))), 4),
+        "plan_success": round(
+            float(np.mean(np.asarray(mt.plan_success_rate))), 4),
+        "planner_success": round(
+            float(np.mean(np.asarray(mt.planner_success_rate))), 4),
+        "guided_selected_rate": round(
+            float(np.mean(np.asarray(mt.guided_selected_rate))), 4),
+        "topology_switch_rate": round(
+            float(np.mean(np.asarray(mt.topology_switch_rate))), 4),
+        "platform": platform,
+    }
+    print(json.dumps(result_t), flush=True)
+
 
 if __name__ == "__main__":
     main()
