@@ -508,19 +508,31 @@ class GlobalGuidance:
     def get_guidance_trajectory(self, i: int) -> GuidanceTrajectory:
         return self.trajectories[i]
 
-    def find_topology_class_for_path(self, path_xy: np.ndarray) -> int:
+    def find_topology_class_for_path(self, path_xy: np.ndarray,
+                                     trajectories=None,
+                                     obstacle_trajs=None) -> int:
         """Classify an arbitrary (N+1, 2) trajectory against the current guidance
-        trajectories (guidance_constraints.cpp:448-502)."""
-        if not self.trajectories:
+        trajectories (guidance_constraints.cpp:448-502).
+
+        ``trajectories``/``obstacle_trajs`` optionally override the live
+        state — pipelined drivers pass the dispatch-time snapshots so a
+        prepared next-tick ``update`` (which rebuilds ``self.trajectories``
+        and reloads obstacles) cannot shift the classification of the
+        in-flight tick's winner."""
+        trajectories = (self.trajectories if trajectories is None
+                        else trajectories)
+        obstacle_trajs = (self._obstacle_trajs if obstacle_trajs is None
+                          else obstacle_trajs)
+        if not trajectories:
             return TOPOLOGY_NO_MATCH
         n = min(len(path_xy), self.config.N + 1)
         # One batched signature pass over [query, guidance trajectories]
         stack = np.stack([np.asarray(path_xy[:n], dtype=float)]
                          + [np.asarray(t.positions[:n], dtype=float)
-                            for t in self.trajectories])
-        sigs = self._signature_batch(stack, self._obstacle_trajs[:, :n])
+                            for t in trajectories])
+        sigs = self._signature_batch(stack, obstacle_trajs[:, :n])
         sig = sigs[0]
-        for traj, tr_sig in zip(self.trajectories, sigs[1:]):
+        for traj, tr_sig in zip(trajectories, sigs[1:]):
             if same_homotopy_class(sig, tr_sig, self._class_threshold):
                 return traj.topology_class
         return TOPOLOGY_NO_MATCH

@@ -61,6 +61,29 @@ class Module:
         """Custom optimization hook; EXIT_CODE_NOT_OPTIMIZED_YET = use default solve."""
         return EXIT_CODE_NOT_OPTIMIZED_YET
 
+    # -- pipelined (two-phase) optimize ------------------------------------
+    # Modules owning their optimization may also support an async split so a
+    # real-time driver can overlap next-tick host work with the in-flight
+    # device dispatch (Planner.solve_mpc_start/_finish). Contract:
+    #   optimize_dispatch -> None   : module does not optimize (use default)
+    #                     -> int    : resolved synchronously (exit code)
+    #                     -> True   : dispatch in flight; call optimize_finish
+    def optimize_dispatch(self, state, data, module_data):
+        return None
+
+    def optimize_finish(self, state, data, module_data) -> int:
+        raise RuntimeError("optimize_finish without a pending dispatch")
+
+    def refresh_state(self, state, module_data) -> None:
+        """Re-derive state-bound quantities for the ACTUAL state after a
+        pipelined ``prepare`` ran with a predicted one (e.g. the contouring
+        progress used for xinit). Default: nothing to refresh."""
+
+    #: True when set_parameters reads the solver's warmstart/solution buffer
+    #: (e.g. linearized constraints project the ego prediction); pipelined
+    #: drivers re-run those fills after the warmstart is initialized.
+    fill_depends_on_solution: bool = False
+
     def reset(self) -> None:
         pass
 

@@ -143,6 +143,21 @@ class ContouringModule(ObjectiveModule):
         if self.add_road_constraints:
             self.construct_road_constraints(data, module_data)
 
+    def refresh_state(self, state, module_data) -> None:
+        """Pipelined-mode hook: ``update`` ran with a PREDICTED state, so the
+        progress variable it wrote belongs to that prediction. Re-derive the
+        closest-s for the ACTUAL state (cheap hint-windowed search) so xinit
+        carries the true progress; the parameter fill keeps the predicted
+        5-segment window (spline segments carry absolute starts, so an
+        off-by-a-few-cm window anchor is exact, just possibly less centered)."""
+        if self.spline is None:
+            return
+        pos = np.array([state.get("x"), state.get("y")])
+        s_hint = None
+        if state.has("spline") and self.closest_segment >= 0:
+            s_hint = float(state.get("spline"))
+        state.set("spline", self.spline.closest_s(pos, s_hint=s_hint))
+
     def set_parameters(self, buf, data, module_data) -> None:
         w = self.settings["weights"]
         buf.set("contour", float(w["contour"]))

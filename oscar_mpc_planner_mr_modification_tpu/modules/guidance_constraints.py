@@ -93,6 +93,14 @@ class GuidanceConstraintModule(ConstraintModule):
             return EXIT_CODE_NOT_OPTIMIZED_YET
         return self._optimizer.optimize(state, data, module_data)
 
+    def optimize_dispatch(self, state, data, module_data):
+        if self._optimizer is None:
+            return None
+        return self._optimizer.optimize_dispatch(state, data, module_data)
+
+    def optimize_finish(self, state, data, module_data) -> int:
+        return self._optimizer.optimize_finish(module_data)
+
     def is_data_ready(self, data) -> bool:
         return self.constraint_submodule.is_data_ready(data)
 

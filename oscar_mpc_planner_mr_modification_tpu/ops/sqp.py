@@ -152,13 +152,26 @@ def make_buffered_packed_solve(batched_solve, P, N, npar, nx, nz, dtype):
         warm = buf[n_par + nx:].reshape(P, N + 1, nz)
         return _pack_results(batched_solve(params, xinit, warm))
 
-    def solve(params, xinit, warm):
-        buf = np.concatenate([
+    def _encode(params, xinit, warm):
+        return np.concatenate([
             np.asarray(params, np_dtype).reshape(-1),
             np.asarray(xinit, np_dtype).reshape(-1),
             np.asarray(warm, np_dtype).reshape(-1)])
-        return np.asarray(packed(buf))
 
+    def solve(params, xinit, warm):
+        return np.asarray(packed(_encode(params, xinit, warm)))
+
+    def dispatch(params, xinit, warm):
+        """Async half of :func:`solve`: encode + upload + dispatch, return
+        the in-flight device value WITHOUT reading it back. JAX dispatch is
+        asynchronous, so the host is free to do next-tick work (guidance PRM,
+        parameter fill) while the solve runs; complete with ``solve.fetch``.
+        The inputs are copied into a fresh staging buffer here, so caller
+        arrays may be reused/overwritten immediately after dispatch."""
+        return packed(_encode(params, xinit, warm))
+
+    solve.dispatch = dispatch
+    solve.fetch = lambda handle: np.asarray(handle)  # blocking readback
     return solve
 
 

@@ -81,6 +81,8 @@ class TMPCOptimizer:
         self._packed_solve = None  # n_sqp -> packed fn (lazy, w/ fallback)
         self._fleet_n_full = sum(n for n, _ in _phases_of(solver.config))
         self.fleet_backend = None
+        self._pending_solve = None  # in-flight device handle (+ timing)
+        self._pending_ctx = None  # host context for optimize_finish
 
         # Parameter column indices
         reg = solver.ocp.registry
@@ -132,56 +134,84 @@ class TMPCOptimizer:
             batched, self.n_planners, sv.N, sv.ocp.npar, sv.nx, sv.nvar,
             sv.dtype)
 
-    def _solve_batch(self, params, xinit, warmstarts) -> SQPResult:
-        """One device dispatch + one packed readback.
+    def _dispatch_batch(self, params, xinit, warmstarts) -> None:
+        """Async half of the batched solve: ONE device dispatch, no readback.
 
-        The first call probes the backend ladder (fused -> pallas on TPU) so
-        a Mosaic rejection of the fused in-kernel trace degrades gracefully
-        at runtime. The ITERATION count adapts to the remaining tick budget
-        through the solver's ladder (Solver.select_iterations — the
-        reference sets solver_timeout per parallel planner,
-        guidance_constraints.cpp:362-363); reduced variants compile lazily
-        on first selection and feed the shared per-iteration EMA."""
+        The first call probes the backend ladder (fused -> pallas on TPU)
+        SYNCHRONOUSLY so a Mosaic rejection of the fused in-kernel trace
+        degrades gracefully at runtime; later calls dispatch and return with
+        the solve in flight (complete with :meth:`_fetch_batch`). The
+        ITERATION count adapts to the remaining tick budget through the
+        solver's ladder (Solver.select_iterations — the reference sets
+        solver_timeout per parallel planner, guidance_constraints.cpp:
+        362-363); reduced variants compile lazily on first selection and
+        feed the shared per-iteration EMA."""
         import time as _time
 
-        T, nz = self.solver.N + 1, self.solver.nvar
         args = (params, xinit, warmstarts)
         n = (self.solver.select_iterations() if self._packed_solve
              else self._fleet_n_full)  # probe the backend at full count first
         fn = self._packed_solve.get(n) if self._packed_solve else None
         if fn is not None:
-            first_call = False
-        elif self._packed_solve is not None:
+            self._pending_solve = {
+                "handle": fn.dispatch(*args), "fn": fn, "n": n,
+                "t0": _time.perf_counter(), "first": False}
+            return
+        if self._packed_solve is not None:
             fn = self._build_packed_solve(self.fleet_backend, n)
             self._packed_solve[n] = fn
-            first_call = True
-        else:
-            last_exc = None
-            for i, backend in enumerate(self._fleet_backends):
-                try:
-                    fn = self._build_packed_solve(backend, n)
-                    t0 = _time.perf_counter()
-                    out = fn(*args)
-                    self._packed_solve = {n: fn}
-                    self.fleet_backend = backend
-                    self.solver.note_solve_time(
-                        n, _time.perf_counter() - t0, compile_call=True)
-                    return unpack_results(out, T, nz)
-                except Exception as exc:  # Mosaic/trace rejection: next
-                    last_exc = exc
-                    if i + 1 < len(self._fleet_backends):
-                        import warnings
+            self._pending_solve = {
+                "handle": fn.dispatch(*args), "fn": fn, "n": n,
+                "t0": _time.perf_counter(), "first": True}
+            return
+        last_exc = None
+        for i, backend in enumerate(self._fleet_backends):
+            try:
+                fn = self._build_packed_solve(backend, n)
+                t0 = _time.perf_counter()
+                out = fn(*args)  # sync probe: compile + run through
+                self._packed_solve = {n: fn}
+                self.fleet_backend = backend
+                self.solver.note_solve_time(
+                    n, _time.perf_counter() - t0, compile_call=True)
+                self._pending_solve = {"packed": out, "n": n}
+                return
+            except Exception as exc:  # Mosaic/trace rejection: next
+                last_exc = exc
+                if i + 1 < len(self._fleet_backends):
+                    import warnings
 
-                        warnings.warn(
-                            f"fleet backend {backend!r} failed at first call "
-                            f"({exc}); falling back to "
-                            f"{self._fleet_backends[i + 1]!r}")
-            raise last_exc
-        t0 = _time.perf_counter()
-        out = fn(*args)
-        self.solver.note_solve_time(n, _time.perf_counter() - t0,
-                                    compile_call=first_call)
+                    warnings.warn(
+                        f"fleet backend {backend!r} failed at first call "
+                        f"({exc}); falling back to "
+                        f"{self._fleet_backends[i + 1]!r}")
+        raise last_exc
+
+    def _fetch_batch(self) -> SQPResult:
+        """Blocking readback of the in-flight batched solve.
+
+        Timing note: the EMA sample spans dispatch -> readback-complete, so
+        in pipelined operation it INCLUDES whatever host work overlapped the
+        flight — a conservative overestimate of the per-iteration cost,
+        which only makes the budget ladder (select_iterations) shed
+        iterations earlier, never overrun the tick."""
+        import time as _time
+
+        T, nz = self.solver.N + 1, self.solver.nvar
+        pending = self._pending_solve
+        self._pending_solve = None
+        if "packed" in pending:  # sync probe path already ran the solve
+            return unpack_results(pending["packed"], T, nz)
+        out = pending["fn"].fetch(pending["handle"])
+        self.solver.note_solve_time(
+            pending["n"], _time.perf_counter() - pending["t0"],
+            compile_call=pending["first"])
         return unpack_results(out, T, nz)
+
+    def _solve_batch(self, params, xinit, warmstarts) -> SQPResult:
+        """One device dispatch + one packed readback (synchronous)."""
+        self._dispatch_batch(params, xinit, warmstarts)
+        return self._fetch_batch()
 
     # ------------------------------------------------------------------
     def update(self, state, data, module_data) -> None:
@@ -250,6 +280,20 @@ class TMPCOptimizer:
     # ------------------------------------------------------------------
     def optimize(self, state, data, module_data) -> int:
         """The parallel branch solve + selection (guidance_constraints.cpp:280-544)."""
+        started = self.optimize_dispatch(state, data, module_data)
+        if started is not True:
+            return int(started)
+        return self.optimize_finish(module_data)
+
+    def optimize_dispatch(self, state, data, module_data):
+        """Host half of :meth:`optimize` up to and including the device
+        dispatch. Returns ``True`` with the solve in flight (complete with
+        :meth:`optimize_finish`), or an ``int`` exit code when the cycle
+        resolved without dispatching (guidance failed and T-MPC++ disabled).
+
+        Splitting lets a real-time driver overlap next-tick host work
+        (guidance PRM, parameter fill) with the in-flight round trip —
+        exactly ONE dispatch stays in flight at a time."""
         gg = self.global_guidance
         if not self.use_tmpcpp and not gg.succeeded():
             return 0
@@ -294,8 +338,32 @@ class TMPCOptimizer:
                 self._fill_consistency_params(params[p], consistency_enabled[p])
         self._fill_topology_constraints(params, warmstarts, data, topo_planners)
 
-        # Batched solve on device: one dispatch, one packed readback
-        results = self._solve_batch(params, self.solver._xinit, warmstarts)
+        # Batched solve on device: one dispatch (readback in optimize_finish).
+        # Snapshot the guidance state the selection half needs: a pipelined
+        # driver may run the NEXT tick's PRM update (rebuilding
+        # gg.trajectories and reloading obstacles) while this solve is in
+        # flight, and the finish must classify/weight against the
+        # trajectories this dispatch was actually guided by.
+        self._dispatch_batch(params, self.solver._xinit, warmstarts)
+        trajs_snapshot = list(gg.trajectories)
+        obs_snapshot = np.asarray(gg._obstacle_trajs)
+        self._pending_ctx = (params, disabled, is_original,
+                             consistency_enabled, n_guidance,
+                             trajs_snapshot, obs_snapshot)
+        return True
+
+    def optimize_finish(self, module_data) -> int:
+        """Readback + selection half of :meth:`optimize`
+        (guidance_constraints.cpp:425-543)."""
+        gg = self.global_guidance
+        P, N = self.n_planners, self.solver.N
+        model = self.solver.ocp.model
+        ix, iy = model.var_index("x"), model.var_index("y")
+        (params, disabled, is_original, consistency_enabled,
+         n_guidance, trajs_snapshot, obs_snapshot) = self._pending_ctx
+        self._pending_ctx = None
+
+        results = self._fetch_batch()
         Z = results.z
         costs = results.cost.copy()
         exit_codes = results.exit_code
@@ -308,7 +376,7 @@ class TMPCOptimizer:
                 diff = pos - self._interp_prev[1 : N - 1]
                 costs[p] -= self.consistency_weight * float(np.sum(diff**2))
             if (not is_original[p]) and p < n_guidance:
-                if gg.get_guidance_trajectory(p).previously_selected:
+                if trajs_snapshot[p].previously_selected:
                     costs[p] *= gg.config.selection_weight_consistency
 
         self.last_objectives = costs
@@ -333,7 +401,9 @@ class TMPCOptimizer:
             guidance_id = 2 * gg.config.n_paths  # fallback "no topology" id
             if (self.settings["JULES"]["assign_meaningful_topology_id_to_non_guided"]
                     and n_guidance > 0):
-                match = gg.find_topology_class_for_path(best_path)
+                match = gg.find_topology_class_for_path(
+                    best_path, trajectories=trajs_snapshot,
+                    obstacle_trajs=obs_snapshot)
                 if match != TOPOLOGY_NO_MATCH:
                     guidance_id = match
             non_guided_matched = guidance_id != 2 * gg.config.n_paths
@@ -349,7 +419,7 @@ class TMPCOptimizer:
                 SolverState.SOLVED_WITH_HOMOLOGY_ID if non_guided_matched
                 else SolverState.SOLVED_NO_HOMOLOGY_ID)
         else:
-            guidance_id = gg.get_guidance_trajectory(best).topology_class
+            guidance_id = trajs_snapshot[best].topology_class
             gg.override_selected_trajectory(guidance_id, clear=False,
                                             selected_path=best_path)
             module_data.solver_state = SolverState.SOLVED_WITH_HOMOLOGY_ID
@@ -503,6 +573,9 @@ class TMPCOptimizer:
 
     def reset(self) -> None:
         self.global_guidance.reset()
+        if self._pending_solve is not None:  # drop any in-flight solve
+            self._pending_solve = None
+        self._pending_ctx = None
         self._has_previous_trajectory = False
         self._prev_selected_topology_id = -1
         self._prev_was_original = False
