@@ -95,6 +95,20 @@ def main():
     params, xinit, z_init, disabled = build_tmpc_fleet(ocp, settings, batch)
     args = tuple(map(jnp.asarray, (params, xinit, z_init, disabled)))
 
+    # Operating-point stamp: the artifact must be self-describing (the
+    # schedule/backend/batch that produced it, plus the exact source rev) so
+    # cross-round comparisons never depend on reading bench.py at the same
+    # commit (round-4 VERDICT weak #6).
+    try:
+        import subprocess
+
+        git_sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10).stdout.strip()
+    except Exception:
+        git_sha = "unknown"
+
     # Emit the (all -1) skeleton BEFORE the first compile: the remote compile
     # relay has been observed to wedge indefinitely — the driver records the
     # LAST emitted line, so even a wedged run leaves a parseable artifact.
@@ -107,8 +121,18 @@ def main():
         "on_device_step_ms": -1.0, "transport_rtt_ms": -1.0,
         "on_device_fleet_step_ms": -1.0, "device_plans_per_s": -1.0,
         "e2e_tick_median_ms": -1.0, "e2e_tick_p99_ms": -1.0,
-        "e2e_tick_spike_share": -1.0,
+        "e2e_tick_spike_share": -1.0, "e2e_host_serial_ms": -1.0,
+        "e2e_pipelined": True,
+        "device_resident_tick_ms": -1.0, "device_resident_tick_p99_ms": -1.0,
         "success_rate": -1.0, "platform": platform, "backend": "none",
+        "git_sha": git_sha,
+        "bench_config": {
+            "qp_iter_schedule": [list(p) for p in config.qp_iter_schedule],
+            "n_sqp": config.n_sqp, "n_qp_iter": config.n_qp_iter,
+            "regularization": config.regularization,
+            "track_best": config.track_best,
+            "batch": batch, "n_paths": n_paths, "N": N, "iters": iters,
+        },
     }
     emit(result)
 
@@ -276,26 +300,107 @@ def main():
                 f"({result['on_device_fleet_step_ms']} ms/fleet step)")
             emit(result)
 
-    # ---- Phase 4: end-to-end single-robot tick --------------------------
+    # ---- Phase 4: end-to-end single-robot tick (PIPELINED) ---------------
+    # Round-5 structure: solve_mpc_start dispatches the solve, then the NEXT
+    # tick's host half (pedestrian step, guidance PRM, module updates,
+    # parameter fill) runs while the round trip is in flight, then
+    # solve_mpc_finish reads back + selects. Exactly one dispatch in flight
+    # at a time (dispatch PIPELINING is slower through this tunnel — the
+    # negative result in docs/PERFORMANCE.md stands; this is host/transport
+    # OVERLAP). host_serial = tick wall time minus the blocking readback
+    # wait — the host work an attached deployment would pay per tick.
     if remaining() > 240:
-        log("phase 4: end-to-end tick (PRM + fill + solve + readback)...")
-        tick_ms = _e2e_tick(N, platform, config)
+        log("phase 4: e2e pipelined tick (PRM + fill overlap dispatch)...")
+        tick_ms, host_ms = _e2e_tick(N, platform, config)
         if tick_ms is not None:
             result["e2e_tick_median_ms"] = round(float(np.median(tick_ms)), 2)
             result["e2e_tick_p99_ms"] = round(
                 float(np.percentile(tick_ms, 99)), 2)
             result["e2e_tick_spike_share"] = round(
                 float(np.mean(tick_ms > 1.5 * np.median(tick_ms))), 4)
+            result["e2e_host_serial_ms"] = round(
+                float(np.median(host_ms)), 2)
             log(f"e2e tick: median {result['e2e_tick_median_ms']} ms, "
-                f"p99 {result['e2e_tick_p99_ms']} ms")
+                f"p99 {result['e2e_tick_p99_ms']} ms, "
+                f"host serial {result['e2e_host_serial_ms']} ms")
+            emit(result)
+
+            # Device-resident tick bound: what an ATTACHED (untunneled)
+            # deployment pays per closed-loop control tick. K T-MPC++ ticks
+            # (fill + 9-planner fused solve + selection + dynamics) chained
+            # in ONE dispatch via parallel/rollout.py give the on-device
+            # per-tick time; the measured serialized host cost from the
+            # pipelined loop above is added on top (conservative: on
+            # attached hardware most of the ~1 ms device step hides under
+            # the overlapped host work, and there is no tunnel RTT).
+            if remaining() > 300:
+                log("phase 5: device-resident closed-loop tick...")
+                try:
+                    dev_ms = _device_resident_tick(N, n_paths, config,
+                                                   platform)
+                    if dev_ms is not None:
+                        result["device_resident_tick_ms"] = round(
+                            float(np.median(dev_ms))
+                            + float(np.median(host_ms)), 2)
+                        result["device_resident_tick_p99_ms"] = round(
+                            float(np.percentile(dev_ms, 99))
+                            + float(np.percentile(host_ms, 99)), 2)
+                        log(f"device-resident tick: "
+                            f"{result['device_resident_tick_ms']} ms median, "
+                            f"p99 {result['device_resident_tick_p99_ms']} ms")
+                except Exception as exc:
+                    log(f"phase 5 failed ({exc}); leaving fields at -1")
 
     emit(result)
+
+
+def _device_resident_tick(N, n_paths, config, platform):
+    """Per-tick time of the device-resident closed-loop T-MPC++ evaluator:
+    K ticks chained in one lax.scan dispatch, per-tick = (T(K)-T(1))/(K-1)
+    over M samples (the chained-scan subtraction removes the tunnel RTT)."""
+    import jax
+    import jax.numpy as jnp
+
+    from oscar_mpc_planner_mr_modification_tpu.parallel.rollout import (
+        make_tmpc_rollout, tmpc_scenes)
+
+    B, K, n_obs = 8, 17, 3
+    backend = "fused" if platform == "tpu" else "xla"
+    dtype = jnp.float32 if platform == "tpu" else jnp.float64
+    r1, _ = make_tmpc_rollout(n_obstacles=n_obs, N=N, n_ticks=1,
+                              n_paths=n_paths, config=config, dtype=dtype,
+                              backend=backend)
+    rK, _ = make_tmpc_rollout(n_obstacles=n_obs, N=N, n_ticks=K,
+                              n_paths=n_paths, config=config, dtype=dtype,
+                              backend=backend)
+    x0, obs0, obs_vel = tmpc_scenes(B, n_obs, seed=0)
+    args = tuple(map(jnp.asarray, (x0, obs0, obs_vel)))
+    for fn in (r1, rK):
+        out = fn(*args)
+        float(jnp.sum(out.progress))  # force compile + run through
+    t1s, tKs = [], []
+    for i in range(10):
+        a = (args[0] + 1e-5 * (i + 1), args[1], args[2])
+        t0 = time.perf_counter()
+        float(jnp.sum(r1(*a).progress))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(jnp.sum(rK(*a).progress))
+        tKs.append(time.perf_counter() - t0)
+    t1 = float(np.median(t1s))
+    per_tick = (np.asarray(tKs) - t1) / (K - 1)
+    return np.maximum(per_tick, 0.0) * 1e3
 
 
 def _e2e_tick(N, platform, config):
     """Full Planner.solveMPC ticks in a pedestrian scenario (planner.cpp:84-232
     equivalents: guidance PRM update, module updates, per-stage parameter fill,
-    batched solve, output extraction)."""
+    batched solve, output extraction) — PIPELINED: the next tick's host half
+    runs while the current solve's round trip is in flight
+    (Planner.solve_mpc_start / prepare / solve_mpc_finish).
+
+    Returns ``(tick_ms, host_serial_ms)``: wall time per tick, and the tick's
+    host-side share (wall minus the blocking readback wait)."""
     import jax.numpy as jnp
 
     from oscar_mpc_planner_mr_modification_tpu.factory import (
@@ -346,40 +451,63 @@ def _e2e_tick(N, platform, config):
     # inter-tick time doesn't dominate the wall clock of the phase.
     step_dyn = jax.jit(lambda xs, us: model.discrete_dynamics(xs, us, dt))
 
+    from oscar_mpc_planner_mr_modification_tpu.modules import (
+        GuidanceConstraintModule)
+
+    optimizer = next(m for m in planner.modules
+                     if isinstance(m, GuidanceConstraintModule))._optimizer
+
+    def build_data(st):
+        d = RealTimeData()
+        d.robot_area = define_robot_area(0.65, 0.65, 1)
+        d.reference_path = ref_path
+        d.dynamic_obstacles = ensure_obstacle_size(
+            psim.get_obstacles(N), st, settings["max_obstacles"], N, dt)
+        return d
+
     # 124 ticks (120 timed) so the p99 is a tail statistic, not the max of
     # 15; gc disabled inside the timed region (a gen-2 pause is several ms,
-    # straight into the p99) and collected between ticks instead.
-    tick_times = []
+    # straight into the p99) and collected between ticks instead. The timed
+    # region is the full pipelined tick: dispatch + (overlapped next-tick
+    # pedestrian step, data build, PRM, parameter fill) + readback +
+    # selection + command extraction — i.e. everything a robot control loop
+    # serializes per period.
+    data = build_data(state)
+    planner.on_data_received(data, "reference_path")
+    tick_times, host_times = [], []
     gc.collect()
     try:
         for step_i in range(124):
-            data = RealTimeData()
-            data.robot_area = define_robot_area(0.65, 0.65, 1)
-            data.reference_path = ref_path
-            data.dynamic_obstacles = ensure_obstacle_size(
-                psim.get_obstacles(N), state, settings["max_obstacles"], N, dt)
-            if step_i == 0:
-                planner.on_data_received(data, "reference_path")
             gc.disable()
             t0 = time.perf_counter()
-            out = planner.solve_mpc(state, data)
+            planner.solve_mpc_start(state, data)
+            # ---- overlap window: next tick's host half ----
+            pred = planner.predicted_next_state(state)
+            psim.step([pred.get_position()])
+            next_data = build_data(pred)
+            planner.prepare(pred, next_data)
+            # -----------------------------------------------
+            out = planner.solve_mpc_finish()
             a = planner.get_solution(0, "a") if out.success else -3.0
             w = planner.get_solution(0, "w") if out.success else 0.0
             tick = time.perf_counter() - t0
             gc.enable()
             if step_i >= 4:  # skip compile + first-shape ticks
                 tick_times.append(tick)
+                host_times.append(tick - optimizer.last_fetch_wait)
             x = np.array(step_dyn(jnp.asarray(state.as_array()),
                                   jnp.asarray([a, w])))
             x[model.state_index("v")] = max(x[model.state_index("v")], 0.0)
             state.set_array(x)
-            psim.step([state.get_position()])
             clock.t += dt
+            data = next_data
             if step_i % 16 == 15:
                 gc.collect()
     finally:
         gc.enable()
-    return np.asarray(tick_times) * 1e3 if tick_times else None
+    if not tick_times:
+        return None, None
+    return (np.asarray(tick_times) * 1e3, np.asarray(host_times) * 1e3)
 
 
 if __name__ == "__main__":

@@ -83,6 +83,7 @@ class TMPCOptimizer:
         self.fleet_backend = None
         self._pending_solve = None  # in-flight device handle (+ timing)
         self._pending_ctx = None  # host context for optimize_finish
+        self.last_fetch_wait = 0.0  # blocking readback time of the last tick
 
         # Parameter column indices
         reg = solver.ocp.registry
@@ -201,11 +202,17 @@ class TMPCOptimizer:
         pending = self._pending_solve
         self._pending_solve = None
         if "packed" in pending:  # sync probe path already ran the solve
+            self.last_fetch_wait = 0.0
             return unpack_results(pending["packed"], T, nz)
+        t_fetch = _time.perf_counter()
         out = pending["fn"].fetch(pending["handle"])
+        now = _time.perf_counter()
+        # Blocking readback time: what the tick actually WAITED on the device
+        # after overlapped host work — benchmarks subtract this from the tick
+        # wall time to get the serialized host share.
+        self.last_fetch_wait = now - t_fetch
         self.solver.note_solve_time(
-            pending["n"], _time.perf_counter() - pending["t0"],
-            compile_call=pending["first"])
+            pending["n"], now - pending["t0"], compile_call=pending["first"])
         return unpack_results(out, T, nz)
 
     def _solve_batch(self, params, xinit, warmstarts) -> SQPResult:
