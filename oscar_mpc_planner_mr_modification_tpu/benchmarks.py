@@ -92,7 +92,12 @@ def build_tmpc_fleet(ocp, settings, batch: int, seed: int = 0,
         obs_vel = rng.uniform(-0.5, 0.5, (n_obs, 2))
         xinit[b] = np.array([0.0, 0.0, 0.0, v0, 0.0])
         for o in range(n_obs):
-            traj = obs_pos[o][None] + obs_vel[o][None] * t_grid[1:, None]  # (N,2)
+            # One stage-time convention for all constraint families (round-4
+            # ADVICE #3): stage k reads the obstacle at k*dt (k=0 is a dummy
+            # below), matching the topology halfspaces and the device
+            # evaluator (parallel/rollout.py).
+            traj = (obs_pos[o][None]
+                    + obs_vel[o][None] * t_grid[:N, None])  # (N, 2)
             params[b, :, :, idx[f"ellipsoid_obst_{o}_x"]] = traj[:, 0]
             params[b, :, :, idx[f"ellipsoid_obst_{o}_y"]] = traj[:, 1]
             params[b, :, 0, idx[f"ellipsoid_obst_{o}_x"]] = 50.0  # k=0 dummy
@@ -125,7 +130,9 @@ def build_tmpc_fleet(ocp, settings, batch: int, seed: int = 0,
                 for k in range(1, N):
                     pos = np.array([xs[k], ys[k]])
                     for o in range(min(n_obs, len(a1))):
-                        c = obs_pos[o] + obs_vel[o] * (k - 1) * dt
+                        # centers at k*dt: same convention as the ellipsoid
+                        # rows above (round-4 ADVICE #3)
+                        c = obs_pos[o] + obs_vel[o] * k * dt
                         diff = c - pos
                         dist = np.linalg.norm(diff)
                         if dist < radius + 1e-6:

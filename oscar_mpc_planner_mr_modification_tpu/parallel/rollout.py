@@ -507,6 +507,7 @@ def make_tmpc_rollout(n_obstacles: int = 4, N: int = 20, n_ticks: int = 60,
     offsets = jnp.asarray(lateral[:, None] * envelope[None], dtype)  # (P, N+1)
     t_grid = jnp.arange(N + 1, dtype=dtype) * dt
     stage_t = jnp.arange(N, dtype=dtype) * dt  # stage k reads time k*dt
+    guided_mask = jnp.arange(P) < n_paths  # (P,) — planner P-1 is unguided
     cons_gate = np.zeros(N)  # stage gating k in [1, N-2] (cpp:996-1040)
     cons_gate[1 : N - 1] = 1.0
     cons_gate_j = jnp.asarray(cons_gate, dtype)
@@ -550,8 +551,14 @@ def make_tmpc_rollout(n_obstacles: int = 4, N: int = 20, n_ticks: int = 60,
             s_anchor = jnp.clip(x[:, 0], 0.0, path_len)
             x = x.at[:, i_s].set(s_anchor)
 
-            # Obstacle predictions: stage k at k*dt; k=0 rows are dummies at
-            # +50 m (the reference's k=0 dummy, ellipsoid_constraints.cpp:62)
+            # Obstacle predictions: ONE stage-time convention for both
+            # constraint families (round-4 ADVICE #3) — stage k reads the
+            # obstacle at k*dt, its true position when the robot reaches
+            # stage k; k=0 rows are dummies at +50 m (the reference's k=0
+            # dummy, ellipsoid_constraints.cpp:62). NOTE the host path keeps
+            # the reference's stage-k-reads-step-(k-1) parity convention
+            # (one step optimistic for approaching obstacles); the evaluator
+            # measures against exact ground truth, so it uses exact timing.
             pred = obs[:, None] + obs_vel[:, None] * stage_t[None, :, None, None]
             pred = pred.at[:, 0].set(50.0)
 
@@ -582,9 +589,10 @@ def make_tmpc_rollout(n_obstacles: int = 4, N: int = 20, n_ticks: int = 60,
             Pa = Pa.at[..., oy_cols].set(pred[:, None, ..., 1])
 
             # Topology halfspaces for guided planners at stages 1..N-1
-            # (TMPCOptimizer._fill_topology_constraints; centers at (k-1)*dt)
+            # (TMPCOptimizer._fill_topology_constraints), centers at k*dt —
+            # the same stage-time convention as the ellipsoid rows above
             c_k = (obs[:, None] +
-                   obs_vel[:, None] * stage_t[None, :N - 1, None, None])
+                   obs_vel[:, None] * stage_t[None, 1:N, None, None])
             pos_g = seeds[:, :n_paths, 1:N][..., [ix, iy]]  # (B,Pg,N-1,2)
             diff = c_k[:, None, :, :n_rows] - pos_g[..., None, :]
             dist = jnp.linalg.norm(diff, axis=-1)  # (B, Pg, N-1, n_rows)
@@ -600,11 +608,16 @@ def make_tmpc_rollout(n_obstacles: int = 4, N: int = 20, n_ticks: int = 60,
                 jnp.where(ok, b_v, 1.0e4))
 
             # Consistency on signature match (cpp:953-991): prev trajectory
-            # params stage-gated to k in [1, N-2]
+            # params stage-gated to k in [1, N-2]. GUIDED planners only,
+            # like the host path's `(not is_original[p]) and p < n_guidance`
+            # gate (tmpc.py, cpp:953-991): the unguided planner's seed is
+            # the shifted previous winner, so its signature nearly always
+            # matches and an ungated weight hands it a permanent advantage
+            # (round-4 ADVICE #1).
             sig = passing_signature(seeds[:, :, 1:N][..., [ix, iy]],
                                     c_k)  # (B, P, n_obs)
             matches = (jnp.all(sig == prev_sig[:, None], axis=-1)
-                       & has_prev[:, None])  # (B, P)
+                       & has_prev[:, None] & guided_mask[None])  # (B, P)
             cons_w = jnp.where(matches, w_cons, 0.0)  # (B, P)
             Pa = Pa.at[..., i_wc].set(
                 cons_w[:, :, None] * cons_gate_j[None, None])
@@ -636,8 +649,14 @@ def make_tmpc_rollout(n_obstacles: int = 4, N: int = 20, n_ticks: int = 60,
             take = lambda arr: jnp.take_along_axis(
                 arr, best[:, None, None, None], axis=1)[:, 0]
             z_best = take(z)  # (B, N+1, nvar)
+            # Carried signature = the SOLVED winner's passing sides, not the
+            # seed's: the solver can move a plan across an obstacle, and the
+            # host path classifies the actual best_path (tmpc.py
+            # optimize_finish; round-4 ADVICE #2). The seed-based `sig`
+            # above stays the pre-solve matches/cons_w decision.
+            sig_sol = passing_signature(z[:, :, 1:N][..., [ix, iy]], c_k)
             sig_best = jnp.take_along_axis(
-                sig, best[:, None, None], axis=1)[:, 0]  # (B, n_obs)
+                sig_sol, best[:, None, None], axis=1)[:, 0]  # (B, n_obs)
 
             u_best = z_best[:, 0, :nu]
             v = x[:, iv]
