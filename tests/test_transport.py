@@ -1,0 +1,257 @@
+"""Cross-process transport tests (round-4 VERDICT missing #2 / directive #7).
+
+Three layers:
+
+1. wire-codec round trip (the serialized ObstacleGMM-equivalent),
+2. broker semantics with in-process clients (pub/sub fan-out, latched
+   first-pose/sync state, the trajectory-pull service),
+3. the real thing: three ``RobotAgent``s — full planner, FSM, triggers —
+   in three SEPARATE OS PROCESSES over the socket transport, with genuine
+   process asynchrony, measuring communication triggers and received-plan
+   staleness (reference boundary:
+   jules_ros1_jackalplanner.cpp:1265-1330, :228-255).
+"""
+
+import multiprocessing as mp
+import time
+
+import numpy as np
+import pytest
+
+from oscar_mpc_planner_mr_modification_tpu.multirobot.comms import (
+    CommunicationTriggerReason, TrajectoryMessage)
+from oscar_mpc_planner_mr_modification_tpu.multirobot.transport import (
+    SocketBus, TransportBroker, decode_trajectory, encode_trajectory)
+
+
+def _msg(ns="r1", n=7, stamp=123.456, braking=False):
+    rng = np.random.default_rng(0)
+    return TrajectoryMessage(
+        robot_ns=ns, robot_index=3, positions=rng.standard_normal((n, 2)),
+        orientations=rng.standard_normal(n), radius=0.325, dt=0.05,
+        stamp=stamp, trigger_reason=CommunicationTriggerReason.GEOMETRIC,
+        is_braking=braking)
+
+
+def test_trajectory_codec_roundtrip():
+    m = _msg()
+    out = decode_trajectory(encode_trajectory(m))
+    assert out.robot_ns == m.robot_ns
+    assert out.robot_index == m.robot_index
+    np.testing.assert_array_equal(out.positions, m.positions)
+    np.testing.assert_array_equal(out.orientations, m.orientations)
+    assert out.radius == m.radius and out.dt == m.dt and out.stamp == m.stamp
+    assert out.trigger_reason == m.trigger_reason
+    assert out.is_braking == m.is_braking
+
+
+def _wait_for(pred, timeout=5.0):
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < timeout:
+        if pred():
+            return True
+        time.sleep(0.01)
+    return False
+
+
+def test_broker_pubsub_latch_and_service():
+    broker = TransportBroker()
+    try:
+        b1 = SocketBus("r1", broker.address, service_timeout=1.0)
+        b2 = SocketBus("r2", broker.address, service_timeout=1.0)
+        got1, got2 = [], []
+        b1.subscribe("r1", got1.append)
+        b2.subscribe("r2", got2.append)
+
+        # pub/sub: r1's broadcast reaches r2 (serialized), never itself
+        b1.publish("r1", _msg("r1"))
+        assert _wait_for(lambda: len(got2) == 1)
+        assert got2[0].robot_ns == "r1"
+        np.testing.assert_array_equal(got2[0].positions, _msg("r1").positions)
+        assert not got1
+
+        # latched first poses + sync barrier propagate
+        b1.first_poses["r1"] = np.array([1.0, 2.0])
+        b1.sync_ready.add("r1")
+        assert _wait_for(lambda: "r1" in b2.first_poses)
+        assert _wait_for(lambda: "r1" in b2.sync_ready)
+        np.testing.assert_array_equal(b2.first_poses["r1"], [1.0, 2.0])
+
+        # late joiner receives the latched state on connect
+        b3 = SocketBus("r3", broker.address, service_timeout=1.0)
+        assert _wait_for(lambda: "r1" in b3.first_poses
+                         and "r1" in b3.sync_ready)
+
+        # trajectory-pull service: r3 requests, r1+r2 serve
+        b1.register_trajectory_service(
+            "r1", lambda req, pose: _msg("r1", stamp=1.0))
+        b2.register_trajectory_service(
+            "r2", lambda req, pose: _msg("r2", stamp=2.0))
+        replies = b3.request_trajectories("r3", np.zeros(2))
+        assert sorted(m.robot_ns for m in replies) == ["r1", "r2"]
+        for b in (b1, b2, b3):
+            b.close()
+    finally:
+        broker.close()
+
+
+# ---------------------------------------------------------------------------
+# Multi-process end-to-end
+# ---------------------------------------------------------------------------
+def _robot_process(ns, index, address, start, goal, duration_s, result_q):
+    """One robot per OS process: real planner + FSM over the socket bus."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from oscar_mpc_planner_mr_modification_tpu.factory import build_planner
+    from oscar_mpc_planner_mr_modification_tpu.models import (
+        SecondOrderUnicycleModel)
+    from oscar_mpc_planner_mr_modification_tpu.modules import (
+        EllipsoidConstraintModule, GoalModule, ModuleManager, MPCBaseModule)
+    from oscar_mpc_planner_mr_modification_tpu.multirobot.driver import (
+        RobotAgent)
+    from oscar_mpc_planner_mr_modification_tpu.multirobot.transport import (
+        SocketBus)
+    from oscar_mpc_planner_mr_modification_tpu.ops.sqp import SQPConfig
+    from oscar_mpc_planner_mr_modification_tpu.utils import default_settings
+
+    settings = default_settings(
+        N=10, max_obstacles=2, weights={"goal": 5.0},
+        JULES={"synchronized_start": True})
+    mm = ModuleManager()
+    base = mm.add_module(MPCBaseModule(settings))
+    base.weigh_variable("a", "acceleration")
+    base.weigh_variable("w", "angular_velocity")
+    mm.add_module(GoalModule(settings))
+    mm.add_module(EllipsoidConstraintModule(settings))
+    model = SecondOrderUnicycleModel()
+    planner = build_planner(model, mm, settings, dtype=jnp.float64,
+                            sqp_config=SQPConfig(n_sqp=4, n_qp_iter=8))
+
+    # Pre-warm the solver compile BEFORE joining the fleet so the measured
+    # loop runs at real control-tick cadence (otherwise one robot's ~10 s
+    # JAX compile stalls its ticks and peers' plans read as stale).
+    from oscar_mpc_planner_mr_modification_tpu.planner.data_preparation import (
+        get_constant_velocity_prediction)
+    from oscar_mpc_planner_mr_modification_tpu.solver.state import State
+    from oscar_mpc_planner_mr_modification_tpu.types import (
+        DynamicObstacle, RealTimeData)
+    from oscar_mpc_planner_mr_modification_tpu.planner.data_preparation import (
+        define_robot_area)
+
+    warm_state = State(model)
+    warm_state.set("x", start[0]); warm_state.set("y", start[1])
+    warm_state.set("psi", start[2]); warm_state.set("v", 0.1)
+    warm = RealTimeData()
+    warm.robot_area = define_robot_area(
+        settings["robot"]["length"], settings["robot"]["width"],
+        settings["n_discs"])
+    warm.goal = np.asarray(goal, float)
+    warm.goal_received = True
+    obstacles = []
+    for i in range(2):
+        o = DynamicObstacle(index=i, position=np.asarray(start[:2]) + 50.0,
+                            radius=0.3)
+        o.prediction = get_constant_velocity_prediction(
+            o.position, np.zeros(2), planner.solver.dt, planner.solver.N)
+        obstacles.append(o)
+    warm.dynamic_obstacles = obstacles
+    planner.solve_mpc(warm_state, warm)
+    planner.reset(None, None)
+
+    bus = SocketBus(ns, address, service_timeout=0.5)
+    agent = RobotAgent(ns, index, planner, model, settings,
+                       goal=np.asarray(goal, float), bus=bus,
+                       clock=time.monotonic, start_pose=start)
+    agent.set_peers([f"robot{i}" for i in range(3)])
+
+    dt = float(settings["integrator_step"])
+    rng = np.random.default_rng(index)
+    staleness, states, triggers = [], [], []
+    t_end = time.monotonic() + duration_s
+    while time.monotonic() < t_end:
+        m = agent.tick()
+        states.append(agent.fsm.name)
+        triggers.append(m.communication_trigger)
+        now = time.monotonic()
+        for peer_msg in agent._peer_trajectories.values():
+            staleness.append(now - peer_msg.stamp)
+        agent.apply_command(dt)
+        # Real asynchrony: jittered per-robot control period
+        time.sleep(float(rng.uniform(0.01, 0.04)))
+    bus.close()
+    result_q.put({
+        "ns": ns,
+        "states": states,
+        "triggers": triggers,
+        "n_sent": agent.comm.n_sent,
+        "n_cycles": agent.comm.n_cycles,
+        "staleness": staleness,
+        "peers_seen": sorted(agent._validated_peers),
+        "final_pos": [agent.state.get("x"), agent.state.get("y")],
+    })
+
+
+@pytest.mark.slow
+def test_three_robot_agents_in_separate_processes():
+    """Three full RobotAgents in separate OS processes over the socket
+    transport: the synchronized-start chain crosses process boundaries, every
+    robot receives both peers' serialized plans, the event triggers fire
+    under real asynchrony, and received plans have positive bounded
+    staleness."""
+    ctx = mp.get_context("spawn")
+    broker = TransportBroker()
+    q = ctx.Queue()
+    starts = [(0.0, 0.0, 0.0), (8.0, 0.8, np.pi), (4.0, 4.0, -np.pi / 2)]
+    goals = [(8.0, 0.0), (0.0, 0.8), (4.0, -3.0)]
+    procs = [
+        ctx.Process(target=_robot_process,
+                    args=(f"robot{i}", i, tuple(broker.address), starts[i],
+                          goals[i], 8.0, q))
+        for i in range(3)
+    ]
+    try:
+        for p in procs:
+            p.start()
+        results = [q.get(timeout=600) for _ in range(3)]
+        for p in procs:
+            p.join(timeout=60)
+    finally:
+        for p in procs:
+            if p.is_alive():
+                p.terminate()
+        broker.close()
+
+    assert len(results) == 3
+    by_ns = {r["ns"]: r for r in results}
+    for ns, r in by_ns.items():
+        # The sync-barrier startup chain crossed process boundaries
+        assert "WAITING_FOR_SYNC" in r["states"] or \
+               "WAITING_FOR_TRAJECTORY_DATA" in r["states"], (ns, r["states"])
+        assert "PLANNING_ACTIVE" in r["states"], (ns, r["states"])
+        assert "ERROR_STATE" not in r["states"], (ns, r["states"])
+        # Both peers' serialized trajectories arrived and validated
+        assert len(r["peers_seen"]) == 2, (ns, r["peers_seen"])
+        # Event-triggered communication: sent some, but not every cycle
+        assert r["n_sent"] > 0, ns
+        assert r["n_sent"] < r["n_cycles"], (ns, r["n_sent"], r["n_cycles"])
+        # Real staleness: positive (clocks are shared monotonic in-host, the
+        # message crossed a socket), bounded by a few control periods of the
+        # slowest peer plus service latency
+        s = np.asarray(r["staleness"])
+        assert len(s) > 0, ns
+        assert np.all(s > 0.0), (ns, s.min())
+        # Fresh plans arrived (some sample within one control period + socket
+        # latency of the broadcast)...
+        assert s.min() < 1.0, (ns, float(s.min()))
+        # ...and between events plans age up to about the TIME heartbeat
+        # (2 s default) plus scheduling slack; robots whose peers exit a
+        # little earlier see a slightly longer tail.
+        assert np.median(s) < 5.0, (ns, float(np.median(s)))
+    # Triggers observed across the fleet include a heartbeat/TIME or
+    # GEOMETRIC firing (not only the startup burst)
+    fleet_triggers = {t for r in results for t in r["triggers"]}
+    assert fleet_triggers & {"TIME", "GEOMETRIC", "INFEASIBLE",
+                             "TOPOLOGY_CHANGE"}, fleet_triggers
