@@ -41,6 +41,19 @@ T_START = time.perf_counter()
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1800"))
 PER_CHIP_TARGET = 10000.0 / 16.0  # v5p-16 target share per chip
 
+# Roofline accounting (docs/PERFORMANCE.md round-5 table). Algorithmic FLOPs
+# of one full scheduled SQP solve (N=20, nz=7, m=22 T-MPC++ problem, 3-phase
+# schedule): XLA cost analysis of the same algorithm through the "xla"
+# backend, linear in batch (tools/bench_roofline.py; pinned by
+# tests/test_roofline_accounting.py). The fused kernel's lane layout adds
+# padding work this does not count — achieved-FLOP/s on algorithmic work is
+# the honest MFU convention. Peaks are chip ceilings measured on THIS chip
+# by tools/bench_roofline.py microbenchmarks (chained FMA / chained matmul);
+# -1 disables the ratio fields until measured.
+ALGO_FLOPS_PER_PROBLEM = 2.7952e6
+MEASURED_VPU_PEAK_TFLOPS = -1.0
+MEASURED_CHIP_PEAK_TFLOPS = -1.0
+
 
 def remaining():
     return BUDGET_S - (time.perf_counter() - T_START)
@@ -120,6 +133,7 @@ def main():
         "small_batch_spike_share": -1.0,
         "on_device_step_ms": -1.0, "transport_rtt_ms": -1.0,
         "on_device_fleet_step_ms": -1.0, "device_plans_per_s": -1.0,
+        "achieved_tflops": -1.0,
         "e2e_tick_median_ms": -1.0, "e2e_tick_p99_ms": -1.0,
         "e2e_tick_spike_share": -1.0, "e2e_host_serial_ms": -1.0,
         "e2e_pipelined": True,
@@ -296,7 +310,29 @@ def main():
             fstep = (float(np.median(u8s)) - float(np.median(u1s))) / 7.0
             result["on_device_fleet_step_ms"] = round(fstep * 1e3, 2)
             result["device_plans_per_s"] = round(batch / fstep, 1)
+            # MFU/roofline (round-5 VERDICT #2): achieved algorithmic
+            # FLOP/s of the fused step vs this chip's measured ceilings.
+            # The FLOP constant was counted for the SHIPPED operating point
+            # (N=20, the T-MPC++ OCP, the 3-phase schedule) — only quote it
+            # when this run is that configuration.
+            if N == 20 and n_paths == 8 and config.qp_iter_schedule == (
+                    (2, 3), (2, 5), (2, 8)):
+                flops_step = ALGO_FLOPS_PER_PROBLEM * batch * P
+                result["achieved_tflops"] = round(
+                    flops_step / fstep / 1e12, 3)
+                if MEASURED_VPU_PEAK_TFLOPS > 0:
+                    result["mfu_vpu"] = round(
+                        result["achieved_tflops"]
+                        / MEASURED_VPU_PEAK_TFLOPS, 3)
+                if MEASURED_CHIP_PEAK_TFLOPS > 0:
+                    result["mfu_chip"] = round(
+                        result["achieved_tflops"]
+                        / MEASURED_CHIP_PEAK_TFLOPS, 4)
             log(f"device rate: {result['device_plans_per_s']} plans/s "
+                f"({result['on_device_fleet_step_ms']} ms/fleet step, "
+                f"{result['achieved_tflops']} TFLOP/s algorithmic)"
+                if result["achieved_tflops"] > 0 else
+                f"device rate: {result['device_plans_per_s']} plans/s "
                 f"({result['on_device_fleet_step_ms']} ms/fleet step)")
             emit(result)
 

@@ -46,7 +46,7 @@ def make_plan_fn(ocp, config: SQPConfig, dtype=jnp.float32):
 
 
 def make_batched_tmpc_step(ocp, config: SQPConfig, dtype=jnp.float32,
-                           backend: str = "auto"):
+                           backend: str = "auto", interpret: bool = False):
     """(B, P)-batched T-MPC step.
 
     plan_step(params (B,P,N,npar), xinit (B,nx), z_init (B,P,N+1,nvar),
@@ -68,7 +68,8 @@ def make_batched_tmpc_step(ocp, config: SQPConfig, dtype=jnp.float32,
 
     from ..ops.sqp import make_fleet_sqp_solver
 
-    fleet_solve = make_fleet_sqp_solver(ocp, config, dtype, backend=backend)
+    fleet_solve = make_fleet_sqp_solver(ocp, config, dtype, backend=backend,
+                                        interpret=interpret)
 
     @jax.jit
     def plan_step(params, xinit, z_init, disabled):

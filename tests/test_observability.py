@@ -110,3 +110,39 @@ def test_save_maps_round_trip(tmp_path):
     assert pmap["contour"] == ocp.registry.index("contour")
     assert mmap["x"][0] == "x" and mmap["a"][0] == "u"
     assert ss["npar"] == ocp.npar and ss["N"] == settings["N"]
+
+
+def test_web_dashboard_serves_live_metrics():
+    """dashboard_web.DashboardServer: the live (rqt-role) surface serves the
+    page and a JSON snapshot of the same MetricsLog the terminal renderer
+    reads, over real HTTP."""
+    import urllib.request
+
+    from oscar_mpc_planner_mr_modification_tpu.dashboard_web import (
+        DashboardServer, snapshot)
+
+    log = MetricsLog()
+    log.add(MPCMetrics(robot_ns="jackal1", planner_state="PLANNING_ACTIVE",
+                       solver_success=True, objective=1.5, velocity=1.2,
+                       position_x=2.0, position_y=-0.5,
+                       communicated=True, communication_trigger="TIME"))
+    snap = snapshot(log)
+    assert snap["robots"][0]["ns"] == "jackal1"
+    assert snap["robots"][0]["x"] == 2.0
+
+    server = DashboardServer(log).start()
+    try:
+        page = urllib.request.urlopen(server.url, timeout=5).read().decode()
+        assert "fleet telemetry" in page and "metrics.json" in page
+        data = json.loads(urllib.request.urlopen(
+            server.url + "metrics.json", timeout=5).read())
+        assert data["robots"][0]["state"] == "PLANNING_ACTIVE"
+        assert data["robots"][0]["comm"] == "TIME"
+        # Live: a new record is visible on the next poll without restart
+        log.add(MPCMetrics(robot_ns="jackal2",
+                           planner_state="GOAL_REACHED"))
+        data = json.loads(urllib.request.urlopen(
+            server.url + "metrics.json", timeout=5).read())
+        assert [r["ns"] for r in data["robots"]] == ["jackal1", "jackal2"]
+    finally:
+        server.stop()
