@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
+
 import jax.numpy as jnp
 
 from .models import (ContouringSecondOrderUnicycleModel,
@@ -133,6 +135,50 @@ def build_planner(model, modules, settings, dtype=jnp.float64,
 
             module.attach_optimizer(ScenarioOptimizer(solver, settings))
     return planner
+
+
+def prewarm_planner(planner: Planner, model, settings,
+                    start_pose=(0.0, 0.0, 0.0), goal=(5.0, 0.0)) -> None:
+    """Force the solver's JIT compile on a benign synthetic scene, then reset.
+
+    A real-time deployment must not pay the first-solve compile (seconds to
+    tens of seconds) inside its first control tick: a multi-robot fleet that
+    compiles mid-episode broadcasts nothing meanwhile, so PEERS see
+    many-second-stale plans (the reference avoids this because its solver is
+    ahead-of-time generated C). Call once after :func:`build_planner`,
+    before joining a fleet / starting the control timer."""
+    from .planner.data_preparation import (define_robot_area,
+                                           get_constant_velocity_prediction)
+    from .solver import State
+    from .types import DynamicObstacle, RealTimeData, ReferencePath
+
+    state = State(model)
+    state.set("x", float(start_pose[0]))
+    state.set("y", float(start_pose[1]))
+    state.set("psi", float(start_pose[2]))
+    state.set("v", 0.1)
+    data = RealTimeData()
+    data.robot_area = define_robot_area(
+        settings["robot"]["length"], settings["robot"]["width"],
+        settings["n_discs"])
+    data.goal = np.asarray(goal, dtype=float)
+    data.goal_received = True
+    far = np.asarray(start_pose[:2], dtype=float) + 50.0
+    obstacles = []
+    for i in range(int(settings["max_obstacles"])):
+        o = DynamicObstacle(index=i, position=far.copy(), radius=0.3)
+        o.prediction = get_constant_velocity_prediction(
+            far, np.zeros(2), planner.solver.dt, planner.solver.N,
+            probabilistic=bool(settings["probabilistic"]["enable"]))
+        obstacles.append(o)
+    data.dynamic_obstacles = obstacles
+    # Path-following configurations additionally gate on a reference path:
+    # provide a long straight one through the start pose.
+    xs = [float(start_pose[0]) + 5.0 * k for k in range(11)]
+    data.reference_path = ReferencePath(x=xs, y=[float(start_pose[1])] * 11)
+    planner.on_data_received(data, "reference_path")
+    planner.solve_mpc(state, data)
+    planner.reset(None, None)
 
 
 def configuration_bicycle(settings, curvature_aware: bool = False):

@@ -21,6 +21,7 @@ reference's per-robot event semantics for behavioral parity.
 
 from __future__ import annotations
 
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional
@@ -123,6 +124,7 @@ class RobotAgent:
         self._validated_peers: set = set()
         self._peer_namespaces: List[str] = []
         self._pose_received = True  # sim provides poses synchronously
+        self._fsm_lock = threading.Lock()  # async transports: rx thread vs tick
         self.last_command = (0.0, 0.0)
         self._last_trajectory_msg: Optional[TrajectoryMessage] = None
         bus.subscribe(ns, self._trajectory_callback)
@@ -186,18 +188,31 @@ class RobotAgent:
     def transition_to(self, new_state: PlannerState) -> bool:
         """Guarded FSM transition. Returns True when taken; an invalid
         request lands in ERROR_STATE instead (transitionTo semantics,
-        multi_robot_utility_functions.cpp:158-172)."""
-        if new_state == PlannerState.ERROR_STATE:
+        multi_robot_utility_functions.cpp:158-172).
+
+        Thread-safe and idempotent: over an ASYNC transport (socket bus,
+        real ROS spinner threads) the rx-driven transition in
+        :meth:`_trajectory_callback` can race the tick loop's own request —
+        both legitimately deciding e.g. WAITING_FOR_TRAJECTORY_DATA →
+        PLANNING_ACTIVE. The check-and-set is atomic under ``_fsm_lock`` and
+        a request for the CURRENT state is a benign no-op, so the second
+        arrival of the same decision cannot crash the FSM into ERROR_STATE."""
+        with self._fsm_lock:
+            if new_state == PlannerState.ERROR_STATE:
+                self.previous_fsm = self.fsm
+                self.fsm = PlannerState.ERROR_STATE
+                return True
+            if new_state == self.fsm:
+                return True
+            if new_state not in self._VALID_TRANSITIONS.get(self.fsm, set()):
+                self.error_reason = (f"invalid transition "
+                                     f"{self.fsm.name} -> {new_state.name}")
+                self.previous_fsm = self.fsm
+                self.fsm = PlannerState.ERROR_STATE
+                return False
             self.previous_fsm = self.fsm
-            self.fsm = PlannerState.ERROR_STATE
+            self.fsm = new_state
             return True
-        if new_state not in self._VALID_TRANSITIONS.get(self.fsm, set()):
-            self.previous_fsm = self.fsm
-            self.fsm = PlannerState.ERROR_STATE
-            return False
-        self.previous_fsm = self.fsm
-        self.fsm = new_state
-        return True
 
     def enter_error_state(self, reason: str = "") -> None:
         """ERROR_STATE entry (e.g. jules_..._working_one.cpp:1502: missing
@@ -471,6 +486,12 @@ class RobotAgent:
         import jax.numpy as jnp
 
         a, w = self.last_command
+        if a < 0.0:
+            # The braking ramp stops AT standstill (ros1_jackalsimulator.cpp:
+            # 190-201): clamp so v cannot cross zero mid-step — otherwise a
+            # stopped robot integrates a net backward drift (RK4 averages
+            # the negative-v portion of the step).
+            a = max(a, -self.state.get("v") / max(float(dt), 1e-9))
         u = np.zeros(self.model.nu)
         u[0], u[1] = a, w
         x_next = self.model.discrete_dynamics(

@@ -478,6 +478,25 @@ def test_fsm_invalid_transition_guard():
     assert not ok
     assert a1.fsm == PlannerState.ERROR_STATE
     assert a1.previous_fsm == PlannerState.TIMER_STARTUP
+    assert "TIMER_STARTUP -> GOAL_REACHED" in a1.error_reason
+
+
+def test_fsm_same_state_request_is_noop():
+    """Over an async transport the rx-driven transition can race the tick
+    loop's own request for the same target (both deciding
+    WAITING_FOR_TRAJECTORY_DATA -> PLANNING_ACTIVE); the second arrival must
+    be a benign no-op, not an ERROR_STATE crash."""
+    clock = FakeClock()
+    bus = MessageBus()
+    a1 = make_agent("r1", 0, bus, clock, (0.0, 0.0, 0.0), (5.0, 0.0))
+    for s in (PlannerState.WAITING_FOR_FIRST_EGO_POSE,
+              PlannerState.INITIALIZING_OBSTACLES,
+              PlannerState.PLANNING_ACTIVE):
+        assert a1.transition_to(s)
+    # the racing duplicate request
+    assert a1.transition_to(PlannerState.PLANNING_ACTIVE)
+    assert a1.fsm == PlannerState.PLANNING_ACTIVE
+    assert a1.error_reason == ""
 
 
 def test_desynchronized_multi_episode_experiments(tmp_path):
