@@ -51,8 +51,14 @@ PER_CHIP_TARGET = 10000.0 / 16.0  # v5p-16 target share per chip
 # by tools/bench_roofline.py microbenchmarks (chained FMA / chained matmul);
 # -1 disables the ratio fields until measured.
 ALGO_FLOPS_PER_PROBLEM = 2.7952e6
+# Measured on THIS chip (docs/artifacts/roofline.json): chained 2048^3 bf16
+# matmul ceiling (the chip's dominant-FLOPs roof). The VPU ratio is left
+# unquoted in the artifact: the dependent elementwise-stream microbench
+# (0.85-0.89 TF/s) is call-granularity-bound and the fused kernel itself
+# sustains 2.8 TF/s algorithmic — the microbench is not a valid ceiling
+# (docs/PERFORMANCE.md round-5 roofline section).
 MEASURED_VPU_PEAK_TFLOPS = -1.0
-MEASURED_CHIP_PEAK_TFLOPS = -1.0
+MEASURED_CHIP_PEAK_TFLOPS = 139.94
 
 
 def remaining():

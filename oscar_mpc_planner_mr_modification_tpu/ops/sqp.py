@@ -521,6 +521,11 @@ def make_fleet_sqp_solver(ocp, config: SQPConfig = SQPConfig(),
     dyn_lin = mach.dyn_lin
     total_cost = mach.total_cost
 
+    if backend not in ("pallas", "xla"):
+        # "fused"/"lanes" were rewritten above; a typo must not silently
+        # fall through to the XLA reference solver (~100x slower on TPU)
+        raise ValueError(f"unknown backend {backend!r}; expected one of "
+                         "'fused', 'lanes', 'pallas', 'xla'")
     dual_warm = backend == "pallas" and config.n_qp_iter_warm > 0
     if dual_warm and config.qp_iter_schedule:
         raise ValueError(

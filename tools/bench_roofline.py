@@ -69,43 +69,54 @@ def main():
     result = {"platform": platform}
 
     # ---------------- 1. VPU ceiling: chained FMA kernel -------------------
-    ROWS, COLS = 512, 512
+    # The Mosaic kernel runs a STATIC inner loop (a dynamic trip count from
+    # SMEM compiled pathologically through the relay) over EIGHT independent
+    # accumulator blocks — a single dependent chain per element is
+    # latency-bound, not throughput-bound (measured 0.886 vs 2.8+ TF/s the
+    # solver kernel itself sustains). The chain length K is an XLA-level
+    # fori_loop of dependent kernel calls.
+    ROWS, COLS = 256, 512
+    K_INNER = 256  # larger in-kernel loops (4096) wedge the relay compiler;
+    # at 256 the XLA-level call chain adds ~0.1-0.3 ms/call of dispatch
+    # overhead, so this measures a conservative dependent-stream rate
+    N_ACC = 8
 
-    def fma_kernel(k_ref, x_ref, o_ref):
-        K = k_ref[0]
+    def fma_kernel(x_ref, o_ref):
+        def body(_, ys):
+            return tuple(y * 1.000000119 + 1.1920929e-07 for y in ys)
 
-        def body(_, y):
-            return y * 1.000000119 + 1.1920929e-07  # FMA, no constant folding
+        ys = jax.lax.fori_loop(
+            0, K_INNER, body,
+            tuple(x_ref[i] for i in range(N_ACC)))
+        for i in range(N_ACC):
+            o_ref[i] = ys[i]
 
-        o_ref[:] = jax.lax.fori_loop(0, K, body, x_ref[:])
+    fma_call = pl.pallas_call(
+        fma_kernel,
+        out_shape=jax.ShapeDtypeStruct((N_ACC, ROWS, COLS), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=platform != "tpu",  # CPU smoke only; numbers need TPU
+    )
 
     @jax.jit
     def fma_chain(x, K):
-        return pl.pallas_call(
-            fma_kernel,
-            out_shape=jax.ShapeDtypeStruct((ROWS, COLS), jnp.float32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                      pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            interpret=platform != "tpu",  # CPU smoke only; numbers need TPU
-        )(K, x)
+        return jax.lax.fori_loop(0, K[0], lambda _, y: fma_call(y), x)
 
     rng = np.random.default_rng(0)
-    K1, K2 = 50_000, 300_000
-    # warm both shapes (compile), then measure with fresh inputs
-    for K in (K1, K2):
-        fma_chain(jnp.asarray(rng.standard_normal((ROWS, COLS)), jnp.float32),
-                  jnp.asarray([K], jnp.int32)).block_until_ready()
+    K1, K2 = 50, 450
+    for K in (K1, K2):  # one compile (K traced); run through once
         float(jnp.sum(fma_chain(
-            jnp.asarray(rng.standard_normal((ROWS, COLS)), jnp.float32),
+            jnp.asarray(rng.standard_normal((N_ACC, ROWS, COLS)),
+                        jnp.float32),
             jnp.asarray([K], jnp.int32))))
     ts = {}
-    for K in (K1, K2, K1, K2):  # interleave to average tunnel weather
-        x = jnp.asarray(rng.standard_normal((ROWS, COLS)), jnp.float32)
+    for K in (K1, K2) * 3:  # interleave to average tunnel weather
+        x = jnp.asarray(rng.standard_normal((N_ACC, ROWS, COLS)), jnp.float32)
         dt, _ = timed_readback(fma_chain, x, jnp.asarray([K], jnp.int32))
         ts.setdefault(K, []).append(dt)
     d = min(ts[K2]) - min(ts[K1])
-    vpu_flops = ROWS * COLS * (K2 - K1) * 2 / d
+    vpu_flops = N_ACC * ROWS * COLS * K_INNER * (K2 - K1) * 2 / d
     result["vpu_fma_tflops"] = round(vpu_flops / 1e12, 3)
     log(f"VPU chained-FMA: {result['vpu_fma_tflops']} TFLOP/s "
         f"(delta {d*1e3:.1f} ms)")
@@ -120,14 +131,16 @@ def main():
                 return jnp.dot(y, w, preferred_element_type=dtype) * 0.001
             return jax.lax.fori_loop(0, K[0], body, x)
 
-        Ks = (8, 136)
+        # Delta sized >> RTT jitter (±25 ms): 504 extra 2048^3 matmuls =
+        # 8.7 TFLOP (~45 ms even at bf16 peak)
+        Ks = (8, 512)
         for K in Ks:  # one compile (K is traced)
             float(jnp.sum(mm_chain(
                 jnp.asarray(rng.standard_normal((n, n)), dtype),
                 jnp.asarray(rng.standard_normal((n, n)), dtype),
                 jnp.asarray([K], jnp.int32)).astype(jnp.float32)))
         ts = {}
-        for K in Ks + Ks:
+        for K in Ks * 3:
             x = jnp.asarray(rng.standard_normal((n, n)), dtype)
             w = jnp.asarray(rng.standard_normal((n, n)), dtype)
             t0 = time.perf_counter()
