@@ -342,19 +342,37 @@ def main():
                 f"({result['on_device_fleet_step_ms']} ms/fleet step)")
             emit(result)
 
-    # ---- Phase 4: end-to-end single-robot tick (PIPELINED) ---------------
-    # Round-5 structure: solve_mpc_start dispatches the solve, then the NEXT
-    # tick's host half (pedestrian step, guidance PRM, module updates,
-    # parameter fill) runs while the round trip is in flight, then
-    # solve_mpc_finish reads back + selects. Exactly one dispatch in flight
-    # at a time (dispatch PIPELINING is slower through this tunnel — the
-    # negative result in docs/PERFORMANCE.md stands; this is host/transport
-    # OVERLAP). host_serial = tick wall time minus the blocking readback
-    # wait — the host work an attached deployment would pay per tick.
+    # ---- Phase 4: end-to-end single-robot tick (both structures) ---------
+    # host_serial = tick wall time minus the blocking readback wait — the
+    # host work an attached deployment would pay per tick.
     if remaining() > 240:
-        log("phase 4: e2e pipelined tick (PRM + fill overlap dispatch)...")
-        tick_ms, host_ms = _e2e_tick(N, platform, config)
-        if tick_ms is not None:
+        # Measured round 5: this tunnel's execution RPC is LAZY (fires at
+        # readback — a 30 ms host sleep after dispatch hides none of the
+        # RTT), so the overlap structure cannot shorten the tick HERE and
+        # its staging overhead makes it slower than the plain serial loop.
+        # Measure both, headline the faster; on attached/async hardware the
+        # pipelined structure is the right one (tests/test_pipelined.py).
+        ticks = {}
+        for mode in ("serial", "pipelined"):
+            if remaining() < 180 and ticks:
+                break
+            log(f"phase 4: e2e tick ({mode})...")
+            tick_ms, host_ms = _e2e_tick(N, platform, config, mode=mode)
+            if tick_ms is not None:
+                ticks[mode] = (tick_ms, host_ms)
+                result[f"e2e_tick_{mode}_median_ms"] = round(
+                    float(np.median(tick_ms)), 2)
+                result[f"e2e_tick_{mode}_p99_ms"] = round(
+                    float(np.percentile(tick_ms, 99)), 2)
+                log(f"e2e {mode}: median "
+                    f"{result[f'e2e_tick_{mode}_median_ms']} ms, p99 "
+                    f"{result[f'e2e_tick_{mode}_p99_ms']} ms, host "
+                    f"{float(np.median(host_ms)):.2f} ms")
+        if ticks:
+            best = min(ticks, key=lambda m: np.percentile(ticks[m][0], 99))
+            tick_ms, host_ms = ticks[best]
+            result["e2e_structure"] = best
+            result["e2e_pipelined"] = best == "pipelined"
             result["e2e_tick_median_ms"] = round(float(np.median(tick_ms)), 2)
             result["e2e_tick_p99_ms"] = round(
                 float(np.percentile(tick_ms, 99)), 2)
@@ -362,7 +380,8 @@ def main():
                 float(np.mean(tick_ms > 1.5 * np.median(tick_ms))), 4)
             result["e2e_host_serial_ms"] = round(
                 float(np.median(host_ms)), 2)
-            log(f"e2e tick: median {result['e2e_tick_median_ms']} ms, "
+            log(f"e2e tick [{best}]: median "
+                f"{result['e2e_tick_median_ms']} ms, "
                 f"p99 {result['e2e_tick_p99_ms']} ms, "
                 f"host serial {result['e2e_host_serial_ms']} ms")
             emit(result)
@@ -434,15 +453,25 @@ def _device_resident_tick(N, n_paths, config, platform):
     return np.maximum(per_tick, 0.0) * 1e3
 
 
-def _e2e_tick(N, platform, config):
+def _e2e_tick(N, platform, config, mode="pipelined"):
     """Full Planner.solveMPC ticks in a pedestrian scenario (planner.cpp:84-232
     equivalents: guidance PRM update, module updates, per-stage parameter fill,
-    batched solve, output extraction) — PIPELINED: the next tick's host half
-    runs while the current solve's round trip is in flight
-    (Planner.solve_mpc_start / prepare / solve_mpc_finish).
+    batched solve, output extraction).
+
+    ``mode="pipelined"``: the next tick's host half runs while the current
+    solve's round trip is nominally in flight (Planner.solve_mpc_start /
+    prepare / solve_mpc_finish) — the right structure for an attached or
+    truly-async deployment. NOTE measured round 5: THIS tunnel's execution
+    RPC is LAZY (it fires at readback, not at dispatch — a 30 ms host sleep
+    between dispatch and readback hides none of the ~24 ms RTT), so host
+    overlap cannot shorten the tick here and the split's extra staging work
+    makes it net slower than ``mode="serial"`` (the plain solve_mpc loop).
+    bench reports both and headlines the faster structure for this
+    transport.
 
     Returns ``(tick_ms, host_serial_ms)``: wall time per tick, and the tick's
-    host-side share (wall minus the blocking readback wait)."""
+    host-side share (wall minus the blocking readback wait; for serial mode
+    host time is measured directly around the non-solve work)."""
     import jax.numpy as jnp
 
     from oscar_mpc_planner_mr_modification_tpu.factory import (
@@ -521,22 +550,33 @@ def _e2e_tick(N, platform, config):
     try:
         for step_i in range(124):
             gc.disable()
-            t0 = time.perf_counter()
-            planner.solve_mpc_start(state, data)
-            # ---- overlap window: next tick's host half ----
-            pred = planner.predicted_next_state(state)
-            psim.step([pred.get_position()])
-            next_data = build_data(pred)
-            planner.prepare(pred, next_data)
-            # -----------------------------------------------
-            out = planner.solve_mpc_finish()
-            a = planner.get_solution(0, "a") if out.success else -3.0
-            w = planner.get_solution(0, "w") if out.success else 0.0
-            tick = time.perf_counter() - t0
+            if mode == "pipelined":
+                t0 = time.perf_counter()
+                planner.solve_mpc_start(state, data)
+                # ---- overlap window: next tick's host half ----
+                pred = planner.predicted_next_state(state)
+                psim.step([pred.get_position()])
+                next_data = build_data(pred)
+                planner.prepare(pred, next_data)
+                # -----------------------------------------------
+                out = planner.solve_mpc_finish()
+                a = planner.get_solution(0, "a") if out.success else -3.0
+                w = planner.get_solution(0, "w") if out.success else 0.0
+                tick = time.perf_counter() - t0
+                host = tick - optimizer.last_fetch_wait
+            else:  # serial: the plain solveMPC loop (planner.cpp:84-232)
+                t0 = time.perf_counter()
+                psim.step([state.get_position()])
+                next_data = build_data(state)
+                out = planner.solve_mpc(state, next_data)
+                a = planner.get_solution(0, "a") if out.success else -3.0
+                w = planner.get_solution(0, "w") if out.success else 0.0
+                tick = time.perf_counter() - t0
+                host = tick - optimizer.last_fetch_wait
             gc.enable()
             if step_i >= 4:  # skip compile + first-shape ticks
                 tick_times.append(tick)
-                host_times.append(tick - optimizer.last_fetch_wait)
+                host_times.append(host)
             x = np.array(step_dyn(jnp.asarray(state.as_array()),
                                   jnp.asarray([a, w])))
             x[model.state_index("v")] = max(x[model.state_index("v")], 0.0)
