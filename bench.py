@@ -41,16 +41,19 @@ T_START = time.perf_counter()
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1800"))
 PER_CHIP_TARGET = 10000.0 / 16.0  # v5p-16 target share per chip
 
+# The shipped headline schedule (see the operating-point comment in main()).
+BENCH_SCHEDULE = ((1, 3), (2, 5), (2, 8))
+
 # Roofline accounting (docs/PERFORMANCE.md round-5 table). Algorithmic FLOPs
-# of one full scheduled SQP solve (N=20, nz=7, m=22 T-MPC++ problem, 3-phase
-# schedule): XLA cost analysis of the same algorithm through the "xla"
+# of one full scheduled SQP solve (N=20, nz=7, m=22 T-MPC++ problem,
+# BENCH_SCHEDULE): XLA cost analysis of the same algorithm through the "xla"
 # backend, linear in batch (tools/bench_roofline.py; pinned by
 # tests/test_roofline_accounting.py). The fused kernel's lane layout adds
 # padding work this does not count — achieved-FLOP/s on algorithmic work is
 # the honest MFU convention. Peaks are chip ceilings measured on THIS chip
 # by tools/bench_roofline.py microbenchmarks (chained FMA / chained matmul);
 # -1 disables the ratio fields until measured.
-ALGO_FLOPS_PER_PROBLEM = 2.7952e6
+ALGO_FLOPS_PER_PROBLEM = 2.7758e6
 # Measured on THIS chip (docs/artifacts/roofline.json): chained 2048^3 bf16
 # matmul ceiling (the chip's dominant-FLOPs roof). The VPU ratio is left
 # unquoted in the artifact: the dependent elementwise-stream microbench
@@ -98,18 +101,20 @@ def main():
     # shift PSD-ization; runtime fallback to the per-iteration kernel if
     # Mosaic rejects the in-kernel trace. track_best=False is the reference's
     # exact semantics (acados FIXED_STEP, no best-iterate merit tracking).
-    # Inexact-SQP schedule, round-5 3-phase ramp (2 iters @ 3 QP iters, 2 @ 5,
-    # 2 @ 8): hardware-measured vs round 4's 4x4+4x8 — success 0.9499 vs
-    # 0.9145 AND 4.97 vs 6.57 ms per 4608-plan fleet step (103,101 vs 77,943
-    # plans/s device rate; tools/exp_iter_schedule.py for the CPU sweep,
-    # tools/exp_schedule_hw.py for the hardware confirm; same success gate,
-    # res_eq <= 1e-2, plan-level success 1.0 both ways).
-    config = SQPConfig(n_sqp=6, n_qp_iter=8, mu_min=1e-6, w_max=1e6,
-                       reg_eps=1e-4,
+    # Inexact-SQP schedule BENCH_SCHEDULE (1x3 + 2x5 + 2x8): the round-5
+    # paired hardware sweep (tools/exp_schedule_hw.py, raw log
+    # docs/artifacts/schedule_trial_r5b.txt, same scenes/session) measured
+    # it dominating the previous 2x3+2x5+2x8 default on BOTH axes — 4.37 vs
+    # 4.86 ms per 4608-plan fleet step (117,087 vs 105,441 plans/s) AND
+    # cold-start success 0.9557 vs 0.9423; same res_eq <= 1e-2 gate,
+    # plan-level success 1.0 both ways.
+    config = SQPConfig(n_sqp=sum(n for n, _ in BENCH_SCHEDULE),
+                       n_qp_iter=BENCH_SCHEDULE[-1][1], mu_min=1e-6,
+                       w_max=1e6, reg_eps=1e-4,
                        regularization="gershgorin" if platform == "tpu"
                        else "mirror",
                        track_best=False,
-                       qp_iter_schedule=((2, 3), (2, 5), (2, 8)))
+                       qp_iter_schedule=BENCH_SCHEDULE)
 
     params, xinit, z_init, disabled = build_tmpc_fleet(ocp, settings, batch)
     args = tuple(map(jnp.asarray, (params, xinit, z_init, disabled)))
@@ -319,10 +324,10 @@ def main():
             # MFU/roofline (round-5 VERDICT #2): achieved algorithmic
             # FLOP/s of the fused step vs this chip's measured ceilings.
             # The FLOP constant was counted for the SHIPPED operating point
-            # (N=20, the T-MPC++ OCP, the 3-phase schedule) — only quote it
-            # when this run is that configuration.
-            if N == 20 and n_paths == 8 and config.qp_iter_schedule == (
-                    (2, 3), (2, 5), (2, 8)):
+            # (N=20, the T-MPC++ OCP, BENCH_SCHEDULE) — only quote it when
+            # this run is that configuration.
+            if (N == 20 and n_paths == 8
+                    and config.qp_iter_schedule == BENCH_SCHEDULE):
                 flops_step = ALGO_FLOPS_PER_PROBLEM * batch * P
                 result["achieved_tflops"] = round(
                     flops_step / fstep / 1e12, 3)

@@ -28,11 +28,14 @@ def _measured_flops(B):
     from oscar_mpc_planner_mr_modification_tpu.ops.sqp import (
         SQPConfig, make_fleet_sqp_solver)
 
+    import bench
+
     ocp, settings = tmpc_bench_ocp(N=20, n_paths=8, max_obstacles=4)
-    cfg = SQPConfig(n_sqp=6, n_qp_iter=8, mu_min=1e-6, w_max=1e6,
-                    reg_eps=1e-4, regularization="gershgorin",
+    cfg = SQPConfig(n_sqp=sum(n for n, _ in bench.BENCH_SCHEDULE),
+                    n_qp_iter=bench.BENCH_SCHEDULE[-1][1], mu_min=1e-6,
+                    w_max=1e6, reg_eps=1e-4, regularization="gershgorin",
                     track_best=False,
-                    qp_iter_schedule=((2, 3), (2, 5), (2, 8)))
+                    qp_iter_schedule=bench.BENCH_SCHEDULE)
     params, xinit, z_init, _ = build_tmpc_fleet(
         ocp, settings, B // params_per_instance(ocp, settings) + 1,
         dtype=np.float32)
