@@ -39,6 +39,7 @@ _FIRST_POSE = 3   # latched first pose announce / remove
 _SYNC = 4         # sync barrier add / remove
 _SRV_REQ = 5      # trajectory service request (fan-out)
 _SRV_RESP = 6     # trajectory service response (routed to requester)
+_ACK = 7          # broker -> client: HELLO processed, client registered
 
 
 def _pack_str(s: str) -> bytes:
@@ -107,9 +108,23 @@ def _recv_frame(sock: socket.socket):
 class TransportBroker:
     """roscore-analog relay: accepts :class:`SocketBus` clients, fans out
     trajectory broadcasts to every OTHER client, latches first-pose/sync
-    state for late joiners, and routes service requests/responses."""
+    state for late joiners, and routes service requests/responses.
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+    ``delay``: seconds of artificial one-way latency added to every relayed
+    message (applied off-thread; ordering per connection is preserved by a
+    single delay worker). Lets tests measure trigger/staleness behavior
+    under WAN-like conditions without touching the host network stack."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 delay: float = 0.0):
+        self.delay = float(delay)
+        self._delayq = None
+        if self.delay > 0.0:
+            import queue
+
+            self._delayq = queue.Queue()
+            t = threading.Thread(target=self._delay_loop, daemon=True)
+            t.start()
         self._srv = socket.create_server((host, port))
         self.address = self._srv.getsockname()
         self._clients: Dict[str, socket.socket] = {}
@@ -142,6 +157,12 @@ class TransportBroker:
             self._clients[ns] = conn
             for ltag, lpayload in self._latched:
                 _send_frame(conn, ltag, lpayload)
+            # Registration ACK: a client that has not seen this may publish
+            # before its peers are registered and the fanout silently drops
+            # the message (the ROS publisher/subscriber startup race).
+            # SocketBus.__init__ blocks on it, so "constructed" means
+            # "receiving" for every later sender.
+            _send_frame(conn, _ACK, b"")
         try:
             while self._running:
                 tag, payload = _recv_frame(conn)
@@ -160,25 +181,44 @@ class TransportBroker:
                     with self._lock:
                         sock = self._clients.get(target)
                     if sock is not None:
-                        try:
-                            _send_frame(sock, tag, payload)
-                        except OSError:
-                            pass
+                        self._send(sock, tag, payload)
         finally:
             with self._lock:
                 if self._clients.get(ns) is conn:
                     del self._clients[ns]
             conn.close()
 
+    def _delay_loop(self) -> None:
+        import time as _time
+
+        while True:
+            due, sock, tag, payload = self._delayq.get()
+            wait = due - _time.monotonic()
+            if wait > 0:
+                _time.sleep(wait)
+            try:
+                _send_frame(sock, tag, payload)
+            except OSError:
+                pass
+
+    def _send(self, sock: socket.socket, tag: int, payload: bytes) -> None:
+        if self._delayq is not None:
+            import time as _time
+
+            self._delayq.put((_time.monotonic() + self.delay, sock, tag,
+                              payload))
+            return
+        try:
+            _send_frame(sock, tag, payload)
+        except OSError:
+            pass
+
     def _fanout(self, tag: int, payload: bytes, exclude: Optional[str]
                 ) -> None:
         with self._lock:
             socks = [(n, s) for n, s in self._clients.items() if n != exclude]
         for _, s in socks:
-            try:
-                _send_frame(s, tag, payload)
-            except OSError:
-                pass
+            self._send(s, tag, payload)
 
     def close(self) -> None:
         self._running = False
@@ -253,9 +293,12 @@ class SocketBus:
         self._pending_done: Dict[str, threading.Event] = {}
         self._lock = threading.Lock()
         self._running = True
+        self._registered = threading.Event()
         _send_frame(self._sock, _HELLO, _pack_str(ns))
         self._reader = threading.Thread(target=self._read_loop, daemon=True)
         self._reader.start()
+        if not self._registered.wait(5.0):
+            raise TimeoutError(f"broker did not acknowledge HELLO for {ns!r}")
 
     # -- MessageBus interface ---------------------------------------------
     def subscribe(self, ns: str, callback: Callable) -> None:
@@ -299,7 +342,9 @@ class SocketBus:
                 return
             if tag is None:
                 return
-            if tag == _TRAJ:
+            if tag == _ACK:
+                self._registered.set()
+            elif tag == _TRAJ:
                 msg = decode_trajectory(payload)
                 if msg.robot_ns == self.ns:
                     continue

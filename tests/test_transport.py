@@ -230,3 +230,41 @@ def test_three_robot_agents_in_separate_processes():
     fleet_triggers = {t for r in results for t in r["triggers"]}
     assert fleet_triggers & {"TIME", "GEOMETRIC", "INFEASIBLE",
                              "TOPOLOGY_CHANGE"}, fleet_triggers
+
+
+def test_broker_wan_delay_staleness_and_service_rtt():
+    """WAN-like transport: with 50 ms of simulated one-way latency in the
+    broker, received plans are at least that stale (receivers must rely on
+    the elapsed-time interpolation), and the trajectory-pull service pays a
+    full round trip."""
+    delay = 0.05
+    broker = TransportBroker(delay=delay)
+    try:
+        b1 = SocketBus("r1", broker.address, service_timeout=2.0)
+        b2 = SocketBus("r2", broker.address, service_timeout=2.0)
+        got = []
+        b2.subscribe("r2", lambda m: got.append((time.monotonic(), m)))
+        # give HELLOs time to register (they are not delayed: sent by
+        # clients, processed inline by the broker)
+        time.sleep(0.05)
+
+        t_send = time.monotonic()
+        b1.publish("r1", _msg("r1", stamp=t_send))
+        assert _wait_for(lambda: len(got) == 1)
+        t_recv, msg = got[0]
+        staleness = t_recv - msg.stamp
+        assert staleness >= delay, staleness  # one-way latency is visible
+        assert staleness < delay + 1.0
+
+        # Service request/response crosses the broker twice
+        b1.register_trajectory_service(
+            "r1", lambda req, pose: _msg("r1", stamp=time.monotonic()))
+        t0 = time.monotonic()
+        replies = b2.request_trajectories("r2", np.zeros(2))
+        rtt = time.monotonic() - t0
+        assert [m.robot_ns for m in replies] == ["r1"]
+        assert rtt >= 2 * delay, rtt
+        b1.close()
+        b2.close()
+    finally:
+        broker.close()
