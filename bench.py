@@ -42,7 +42,7 @@ BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1800"))
 PER_CHIP_TARGET = 10000.0 / 16.0  # v5p-16 target share per chip
 
 # The shipped headline schedule (see the operating-point comment in main()).
-BENCH_SCHEDULE = ((1, 3), (2, 5), (2, 8))
+BENCH_SCHEDULE = ((1, 3), (1, 5), (2, 8))
 
 # Roofline accounting (docs/PERFORMANCE.md round-5 table). Algorithmic FLOPs
 # of one full scheduled SQP solve (N=20, nz=7, m=22 T-MPC++ problem,
@@ -53,7 +53,7 @@ BENCH_SCHEDULE = ((1, 3), (2, 5), (2, 8))
 # the honest MFU convention. Peaks are chip ceilings measured on THIS chip
 # by tools/bench_roofline.py microbenchmarks (chained FMA / chained matmul);
 # -1 disables the ratio fields until measured.
-ALGO_FLOPS_PER_PROBLEM = 2.7758e6
+ALGO_FLOPS_PER_PROBLEM = 2.7563e6
 # Measured on THIS chip (docs/artifacts/roofline.json): chained 2048^3 bf16
 # matmul ceiling (the chip's dominant-FLOPs roof). The VPU ratio is left
 # unquoted in the artifact: the dependent elementwise-stream microbench
@@ -101,13 +101,17 @@ def main():
     # shift PSD-ization; runtime fallback to the per-iteration kernel if
     # Mosaic rejects the in-kernel trace. track_best=False is the reference's
     # exact semantics (acados FIXED_STEP, no best-iterate merit tracking).
-    # Inexact-SQP schedule BENCH_SCHEDULE (1x3 + 2x5 + 2x8): the round-5
-    # paired hardware sweep (tools/exp_schedule_hw.py, raw log
-    # docs/artifacts/schedule_trial_r5b.txt, same scenes/session) measured
-    # it dominating the previous 2x3+2x5+2x8 default on BOTH axes — 4.37 vs
-    # 4.86 ms per 4608-plan fleet step (117,087 vs 105,441 plans/s) AND
-    # cold-start success 0.9557 vs 0.9423; same res_eq <= 1e-2 gate,
-    # plan-level success 1.0 both ways.
+    # Inexact-SQP schedule BENCH_SCHEDULE (1x3 + 1x5 + 2x8): the third
+    # paired hardware sweep (tools/exp_schedule_hw.py, raw logs
+    # docs/artifacts/schedule_trial_r5{b,c}.txt, same scenes/session each)
+    # measured the full front; this point runs 3.50 ms per 4608-plan fleet
+    # step (146,423 plans/s — vs 4.41/116k for 1x3+2x5+2x8 and 4.86/105k
+    # for 2x3+2x5+2x8) at per-planner cold-start success 0.9484 — above the
+    # 2x3+2x5+2x8 (0.9423) and round-4 (0.9145) defaults, 0.7pt below the
+    # 1x3+2x5+2x8 knee (0.9557) — and unchanged PLAN-level (best-of-9)
+    # success 1.0, the deployment metric. Same res_eq <= 1e-2 gate. The
+    # higher-success knee remains one config away; front table in
+    # docs/PERFORMANCE.md.
     config = SQPConfig(n_sqp=sum(n for n, _ in BENCH_SCHEDULE),
                        n_qp_iter=BENCH_SCHEDULE[-1][1], mu_min=1e-6,
                        w_max=1e6, reg_eps=1e-4,

@@ -12,7 +12,7 @@ tunnel RTT and dispatch overhead cancel:
    COULD reach if the workload were matmul-shaped.
 3. **Fleet-step achieved FLOP/s** — the shipped fused T-MPC++ fleet step
    (4608 plans, N=20, round-5 schedule), algorithmic FLOPs counted by XLA
-   cost analysis of the same algorithm (2.7758 MFLOP/plan, see
+   cost analysis of the same algorithm (2.7563 MFLOP/plan, see
    ALGO_FLOPS_PER_PLAN below), divided by the chained on-device step time.
 4. **The MXU experiment** — the SAME fleet through ``backend="xla"``: XLA:TPU
    maps the batched stagewise Riccati's dot_generals onto the MXU
@@ -39,13 +39,13 @@ def log(msg):
 
 
 # Algorithmic FLOPs of one full scheduled SQP solve (N=20, nz=7, nx=5, m=22
-# T-MPC++ OCP; shipped schedule 1x(qp=3)+2x(qp=5)+2x(qp=8)): XLA cost
+# T-MPC++ OCP; shipped schedule 1x(qp=3)+1x(qp=5)+2x(qp=8)): XLA cost
 # analysis of the batched "xla" backend on CPU, linear in batch
-# (177,649,600 flops at B=64, 88,828,648 at B=32 -> 2.7758e6/plan). The
+# (176,404,000 flops at B=64, 88,208,592 at B=32 -> 2.7563e6/plan). The
 # fused kernel runs the same
 # iteration counts; its lane layout adds padding work this figure does not
 # count, so quoted MFU is the honest algorithmic-work convention.
-ALGO_FLOPS_PER_PLAN = 2.7758e6
+ALGO_FLOPS_PER_PLAN = 2.7563e6
 
 
 def timed_readback(fn, *args):
@@ -162,10 +162,10 @@ def main():
 
     N = 20
     ocp, settings = tmpc_bench_ocp(N=N, n_paths=8, max_obstacles=4)
-    cfg = SQPConfig(n_sqp=5, n_qp_iter=8, mu_min=1e-6, w_max=1e6,
+    cfg = SQPConfig(n_sqp=4, n_qp_iter=8, mu_min=1e-6, w_max=1e6,
                     reg_eps=1e-4, regularization="gershgorin",
                     track_best=False,
-                    qp_iter_schedule=((1, 3), (2, 5), (2, 8)))
+                    qp_iter_schedule=((1, 3), (1, 5), (2, 8)))
     B = 512
     params, xinit, z_init, _ = build_tmpc_fleet(ocp, settings, B,
                                                 dtype=np.float32)
