@@ -133,8 +133,8 @@ class EllipsoidConstraintModule(ConstraintModule):
                     continue
                 mode = obstacle.prediction.modes[j]
                 # Vectorized over stages: stage k reads prediction step k-1
-                xs = np.array([step.position[0] for step in mode])
-                ys = np.array([step.position[1] for step in mode])
+                mp = obstacle.prediction.mode_positions(j)  # cached per tick
+                xs, ys = mp[:, 0], mp[:, 1]
                 psis = np.array([step.angle for step in mode])
                 n = min(N - 1, len(mode))
                 col_x = np.full(N, self._dummy[0])

@@ -28,6 +28,8 @@ planners/scenarios/robots is a plain ``vmap``.
 
 from __future__ import annotations
 
+import os
+import threading
 from functools import partial
 from typing import NamedTuple
 
@@ -145,6 +147,9 @@ def make_buffered_packed_solve(batched_solve, P, N, npar, nx, nz, dtype):
     np_dtype = np.dtype(jnp.dtype(dtype).name)
     n_par = P * N * npar
 
+    def _eager_fetch_enabled():
+        return os.environ.get("TMPC_EAGER_FETCH", "0") == "1"
+
     @jax.jit
     def packed(buf):
         params = buf[:n_par].reshape(P, N, npar)
@@ -163,15 +168,55 @@ def make_buffered_packed_solve(batched_solve, P, N, npar, nx, nz, dtype):
 
     def dispatch(params, xinit, warm):
         """Async half of :func:`solve`: encode + upload + dispatch, return
-        the in-flight device value WITHOUT reading it back. JAX dispatch is
+        an in-flight handle WITHOUT blocking on the result. JAX dispatch is
         asynchronous, so the host is free to do next-tick work (guidance PRM,
         parameter fill) while the solve runs; complete with ``solve.fetch``.
         The inputs are copied into a fresh staging buffer here, so caller
-        arrays may be reused/overwritten immediately after dispatch."""
-        return packed(_encode(params, xinit, warm))
+        arrays may be reused/overwritten immediately after dispatch.
+
+        Eager-fetch thread (OPT-IN via ``TMPC_EAGER_FETCH=1``): tunneled
+        transports execute LAZILY — the execution RPC only fires when a
+        result is demanded (round-5 probe, docs/PERFORMANCE.md), so plain
+        async dispatch overlaps NOTHING of the ~25 ms round trip. A daemon
+        thread demands the packed result immediately after dispatch, firing
+        the RPC while the caller's overlap window runs; ``fetch`` joins the
+        thread. Exactly one solve is in flight at a time (the planner's
+        contract), and the overlap window is host-side numpy/native work,
+        so the thread never races another device call. MEASURED on this
+        tunnel (round-5 A/B, same process, pipelined e2e tick): eager ON is
+        net SLOWER (median 29.2-30.1 ms vs 28.7 OFF; host share +1-1.7 ms)
+        — the axon client's blocking readback holds the GIL, so the thread
+        starves the host half instead of overlapping the RTT. Default off;
+        the mechanism stays for transports whose readback releases the GIL
+        (measure before enabling)."""
+        handle = packed(_encode(params, xinit, warm))
+        if not _eager_fetch_enabled():
+            return handle
+        box = {}
+
+        def _pull():
+            try:
+                box["out"] = np.asarray(handle)
+            except BaseException as exc:  # re-raised in fetch()
+                box["err"] = exc
+
+        t = threading.Thread(target=_pull, daemon=True,
+                             name="tmpc-eager-fetch")
+        t.start()
+        return (t, box)
+
+    def fetch(handle):
+        """Blocking readback of a :func:`dispatch` handle."""
+        if isinstance(handle, tuple):  # eager-fetch thread
+            t, box = handle
+            t.join()
+            if "err" in box:
+                raise box["err"]
+            return box["out"]
+        return np.asarray(handle)
 
     solve.dispatch = dispatch
-    solve.fetch = lambda handle: np.asarray(handle)  # blocking readback
+    solve.fetch = fetch
     return solve
 
 

@@ -489,9 +489,8 @@ class TMPCOptimizer:
         # Obstacle centers per stage k=1..N-1 (prediction step k-1, clamped)
         centers = np.empty((N - 1, n_obs, 2))
         for i, obs in enumerate(obstacles):
-            mode = obs.prediction.modes[0]
-            pts = np.asarray([s.position for s in mode])  # (L, 2)
-            centers[:, i] = pts[np.minimum(np.arange(N - 1), len(mode) - 1)]
+            pts = obs.prediction.mode_positions(0)  # (L, 2), cached per tick
+            centers[:, i] = pts[np.minimum(np.arange(N - 1), len(pts) - 1)]
 
         pos = warmstarts[pidx][:, 1:N][:, :, [ix, iy]].copy()  # (Pf, N-1, 2)
         # Project out of obstacle discs (3 sweeps, sequential over obstacles)

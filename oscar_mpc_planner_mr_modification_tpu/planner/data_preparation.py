@@ -46,16 +46,23 @@ def get_dummy_obstacle(state) -> DynamicObstacle:
 
 def get_constant_velocity_prediction(position, velocity, dt: float, steps: int,
                                      probabilistic: bool = False) -> Prediction:
-    """data_preparation.cpp:60-82."""
+    """data_preparation.cpp:60-82.
+
+    Host-hot-path note: called once per obstacle per control tick; the
+    positions are computed in ONE vectorized numpy op and pre-seeded into the
+    ``mode_positions`` cache so downstream per-tick consumers (guidance
+    obstacle loading, parameter fills) never re-stack the step objects."""
     noise = 0.3 if probabilistic else 0.0
     pred = Prediction(
         PredictionType.GAUSSIAN if probabilistic else PredictionType.DETERMINISTIC,
         modes=[[]], probabilities=[1.0])
     position = np.asarray(position, dtype=float)
     velocity = np.asarray(velocity, dtype=float)
-    for i in range(steps):
-        pred.modes[0].append(
-            PredictionStep(position + velocity * dt * i, 0.0, noise, noise))
+    positions = position[None, :] + np.outer(
+        dt * np.arange(steps, dtype=float), velocity)
+    pred.modes[0] = [PredictionStep(positions[i], 0.0, noise, noise)
+                     for i in range(steps)]
+    pred.__dict__["_pos_cache"] = {0: positions}
     if probabilistic:
         propagate_prediction_uncertainty(pred, dt, steps)
     return pred
@@ -101,12 +108,15 @@ def ensure_obstacle_size(obstacles: List[DynamicObstacle], state, max_obstacles:
         direction = np.array([np.cos(psi), np.sin(psi)])
         distances = []
         for obs in obstacles:
-            min_dist = 1e5
-            for k in range(min(N, len(obs.prediction.modes[0]))):
-                dist = (k + 1) * 0.6 * np.linalg.norm(
-                    obs.prediction.modes[0][k].position - (pos + v * k * direction))
-                min_dist = min(min_dist, dist)
-            distances.append(min_dist)
+            K = min(N, len(obs.prediction.modes[0]))
+            if K == 0:
+                distances.append(1e5)
+                continue
+            mp = obs.prediction.mode_positions(0)[:K]  # (K, 2), cached
+            ks = np.arange(K, dtype=float)
+            ego = pos[None, :] + np.outer(v * ks, direction)
+            d = (ks + 1.0) * 0.6 * np.linalg.norm(mp - ego, axis=1)
+            distances.append(float(np.min(d)) if K else 1e5)
         order = np.argsort(distances)[:max_obstacles]
         obstacles = [obstacles[i] for i in order]
         for i, obs in enumerate(obstacles):
@@ -130,13 +140,16 @@ def propagate_prediction_uncertainty(prediction: Prediction, dt: float, N: int
     if prediction.type != PredictionType.GAUSSIAN:
         return
     for mode in prediction.modes:
-        major = minor = 0.0
-        for k in range(min(N, len(mode))):
-            step = mode[k]
-            major = np.sqrt(major**2 + (step.major_radius * dt) ** 2)
-            minor = np.sqrt(minor**2 + (step.minor_radius * dt) ** 2)
-            step.major_radius = major
-            step.minor_radius = minor
+        K = min(N, len(mode))
+        if K == 0:
+            continue
+        major = np.sqrt(np.cumsum(
+            np.asarray([s.major_radius for s in mode[:K]]) ** 2) * dt * dt)
+        minor = np.sqrt(np.cumsum(
+            np.asarray([s.minor_radius for s in mode[:K]]) ** 2) * dt * dt)
+        for k in range(K):
+            mode[k].major_radius = float(major[k])
+            mode[k].minor_radius = float(minor[k])
 
 
 def propagate_all_uncertainty(obstacles: List[DynamicObstacle], dt: float, N: int

@@ -187,6 +187,19 @@ def test_packed_solve_dispatch_fetch_equals_sync():
     fetched = solve.fetch(handle)
     np.testing.assert_array_equal(sync, fetched)
 
+    # Eager-fetch thread variant (opt-in; measured net-slower on the GIL-
+    # holding axon tunnel, kept for GIL-releasing transports): same bytes,
+    # result pulled by a daemon thread joined in fetch().
+    import os
+
+    os.environ["TMPC_EAGER_FETCH"] = "1"
+    try:
+        handle = solve.dispatch(p, x, z)
+        assert isinstance(handle, tuple), "eager dispatch returns thread box"
+        np.testing.assert_array_equal(sync, solve.fetch(handle))
+    finally:
+        os.environ.pop("TMPC_EAGER_FETCH", None)
+
 
 def test_prepared_fill_tracks_moving_obstacles():
     """Regression: the prepared parameter fill must reach the dispatched
