@@ -119,8 +119,9 @@ class GaussianConstraintModule(ConstraintModule):
                 n = min(N - 1, len(mode))
                 col_x = np.full(N, self._dummy[0])
                 col_y = np.full(N, self._dummy[1])
-                col_x[1 : 1 + n] = [step.position[0] for step in mode[:n]]
-                col_y[1 : 1 + n] = [step.position[1] for step in mode[:n]]
+                mp = obstacle.prediction.mode_positions(j)  # cached per tick
+                col_x[1 : 1 + n] = mp[:n, 0]
+                col_y[1 : 1 + n] = mp[:n, 1]
                 buf.set(self._p(i, j, "x"), col_x)
                 buf.set(self._p(i, j, "y"), col_y)
                 if obstacle.type == ObstacleType.STATIC:
