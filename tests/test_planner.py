@@ -174,6 +174,55 @@ def test_ensure_obstacle_size_pads_and_prunes():
     assert np.linalg.norm(kept2[-1].position) > 100
 
 
+def test_constant_velocity_prediction_values_and_cache():
+    """The vectorized construction must place step k at p + v*dt*k, seed the
+    mode_positions cache with the SAME array (rows are views of it), and
+    propagate sigma_k = sqrt(k+1)*(0.3*dt) in the probabilistic branch
+    (data_preparation.cpp:60-82,175-191)."""
+    pred = get_constant_velocity_prediction(
+        np.array([1.0, 2.0]), np.array([0.5, -0.25]), 0.2, 5)
+    mp = pred.mode_positions(0)
+    expect = np.array([[1.0 + 0.1 * k, 2.0 - 0.05 * k] for k in range(5)])
+    np.testing.assert_allclose(mp, expect)
+    np.testing.assert_allclose(pred.modes[0][3].position, expect[3])
+    # The cached array and the step objects share memory (views)
+    assert pred.modes[0][2].position.base is mp
+
+    pg = get_constant_velocity_prediction(np.zeros(2), np.zeros(2), 0.2, 4,
+                                          probabilistic=True)
+    sig = [s.major_radius for s in pg.modes[0]]
+    np.testing.assert_allclose(
+        sig, [np.sqrt(k + 1.0) * 0.06 for k in range(4)])
+
+
+def test_ensure_obstacle_size_time_scaled_ordering():
+    """The closest-N metric is min_k (k+1)*0.6*||obs_k - (p + v*k*dir)||
+    (data_preparation.cpp:97-173): an obstacle CONVERGING with the ego over
+    the horizon must out-rank a static one that is nearer at k=0."""
+    model = SecondOrderUnicycleModel()
+    state = State(model)
+    state.set("v", 1.0)  # psi=0 -> ego advances +x by v*k per step index
+    # min_k metric by hand: static at y=2.5 -> (0+1)*0.6*2.5 = 1.5 at k=0
+    # (grows with k as the ego drives away)
+    static_near = DynamicObstacle(index=0,
+                                  position=np.array([0.0, 2.5]))
+    static_near.prediction = get_constant_velocity_prediction(
+        static_near.position, np.zeros(2), 0.2, 20)
+    # Converging: gap 4-1.16k -> at k=3 gap 0.52, (3+1)*0.6*0.52 = 1.248 < 1.5
+    converging = DynamicObstacle(index=1, position=np.array([4.0, 0.0]))
+    converging.prediction = get_constant_velocity_prediction(
+        converging.position, np.array([-0.8, 0.0]), 0.2, 20)
+    far = DynamicObstacle(index=2, position=np.array([50.0, 50.0]))
+    far.prediction = get_constant_velocity_prediction(
+        far.position, np.zeros(2), 0.2, 20)
+    kept = ensure_obstacle_size([far, static_near, converging], state, 1,
+                                20, 0.2)
+    assert len(kept) == 1
+    # 1.248 (converging, min at k=3) < 1.5 (static, min at k=0): the
+    # time-scaled metric prefers the obstacle that crosses the ego's path
+    assert np.allclose(kept[0].position, [4.0, 0.0])
+
+
 def test_shift_forward_warmstart_semantics():
     """acados_solver_interface.cpp:346-376: [state, x2, ..., x_{N-1}, x_{N-1}]."""
     planner, model, settings = make_planner()
